@@ -1,0 +1,86 @@
+"""Batch iteration and async host->device prefetch.
+
+Replaces the reference's single-process ``DataLoader(num_workers=0)``
+(reference src/main.py:77-100) with:
+
+- :class:`Batches` — epoch index batching with optional shuffling from an
+  explicit numpy Generator (deterministic, no global seed state);
+- :func:`prefetch_to_device` — double-buffered host->HBM transfer so the
+  next batch's DMA overlaps with the current step's compute (the standard
+  TPU input-pipeline pattern; the reference transfers synchronously inside
+  the hot loop at src/train_prob_unet_model.py:123-125).
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Iterable, Iterator
+
+import jax
+import numpy as np
+
+
+class Batches:
+    """Iterate index batches over a dataset length.
+
+    drop_last defaults True for static batch shapes (XLA recompiles on any
+    shape change; the reference tolerated a ragged final batch).
+    """
+
+    def __init__(
+        self,
+        n: int,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.n = int(n)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        stop = (self.n // self.batch_size) * self.batch_size if self.drop_last else self.n
+        for s in range(0, stop, self.batch_size):
+            yield idx[s : s + self.batch_size]
+
+
+def prefetch_to_device(
+    iterable: Iterable,
+    size: int = 2,
+    sharding: jax.sharding.Sharding | None = None,
+) -> Iterator:
+    """Double-buffered transfer of host batches (pytrees of np arrays) to device.
+
+    ``jax.device_put`` is async: enqueueing `size` batches ahead lets the
+    transfer engine overlap with compute. With a ``sharding``, arrays land
+    directly in their sharded layout (DP input pipeline).
+    """
+
+    queue: collections.deque = collections.deque()
+    it = iter(iterable)
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    for batch in itertools.islice(it, size):
+        queue.append(put(batch))
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass

@@ -1,0 +1,96 @@
+"""Fcomb: combine U-Net features with a latent sample z.
+
+Re-design of the reference ``Fcomb`` (reference src/prob_unet.py:87-138):
+tile z over (H, W), concat with the feature map on the channel axis, then a
+3-layer 1x1-conv MLP (ReLU, ReLU, linear) to ``num_classes`` channels.
+
+TPU-first differences:
+
+- **No tiled z tensor, no concat.** A 1x1 conv on [features ; tiled z] is
+  algebraically ``feats @ W_f + z @ W_z + b`` where W = [W_f ; W_z] is the
+  split first-layer kernel. The feature matmul is computed once per batch
+  element; the z contribution is a per-(sample, batch) bias broadcast over
+  space. This removes the (B, H, W, C+D) concat buffer entirely.
+- **Ensemble decode against shared features.** :meth:`ensemble` evaluates M
+  latent draws with the layer-1 feature matmul computed ONCE — the reference
+  re-runs the full U-Net per ensemble member on its sampling path
+  (SURVEY.md §3.3); its elbo shares features but still loops M times in
+  Python (reference src/prob_unet.py:246-252).
+- The fused Pallas kernel (probunet_tpu.ops.pallas.fcomb) implements the
+  same math in one VMEM-resident pass per tile; this module is the XLA path
+  and the numerical reference for it.
+
+Initialization matches ``init_weights`` (kaiming-normal fan-in ReLU +
+truncated-normal 0.001 bias, reference src/prob_unet_utils.py:18-23); the
+fan-in of layer 1 is C+D exactly as in the reference's concatenated conv.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from probunet_tpu.models.gaussian import kaiming_relu_init, trunc_normal_bias_init
+
+
+class Fcomb(nn.Module):
+    unet_output_channels: int
+    latent_dim: int
+    num_classes: int
+    dtype: Any = None
+
+    def setup(self):
+        c, d, k = self.unet_output_channels, self.latent_dim, self.num_classes
+        # stored with the reference's conceptual (1, 1, cin, cout) 1x1-conv
+        # shape so fan-in (= c + d for layer 0) matches the concat conv
+        self.layer0_weight = self.param("layer0_weight", kaiming_relu_init, (1, 1, c + d, c))
+        self.layer0_bias = self.param("layer0_bias", trunc_normal_bias_init(), (c,))
+        self.layer1_weight = self.param("layer1_weight", kaiming_relu_init, (1, 1, c, c))
+        self.layer1_bias = self.param("layer1_bias", trunc_normal_bias_init(), (c,))
+        self.layer2_weight = self.param("layer2_weight", kaiming_relu_init, (1, 1, c, k))
+        self.layer2_bias = self.param("layer2_bias", trunc_normal_bias_init(), (k,))
+
+    def _mm(self, x, w):
+        dt = self.dtype or x.dtype
+        return jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
+
+    def __call__(self, feature_map: jax.Array, z: jax.Array) -> jax.Array:
+        """feature_map (B, H, W, C), z (B, D) -> (B, H, W, num_classes)."""
+        c = self.unet_output_channels
+        w1 = self.layer0_weight[0, 0]
+        h = self._mm(feature_map, w1[:c]) + (
+            self._mm(z, w1[c:]) + self.layer0_bias
+        )[:, None, None, :]
+        h = nn.relu(h.astype(feature_map.dtype))
+        h = nn.relu(
+            (self._mm(h, self.layer1_weight[0, 0]) + self.layer1_bias).astype(
+                feature_map.dtype
+            )
+        )
+        out = self._mm(h, self.layer2_weight[0, 0]) + self.layer2_bias
+        return out.astype(feature_map.dtype)
+
+    def ensemble(self, feature_map: jax.Array, zs: jax.Array) -> jax.Array:
+        """Decode M latent draws with shared features.
+
+        feature_map (B, H, W, C), zs (M, B, D) -> (B, M, H, W, num_classes).
+        The layer-1 feature matmul runs ONCE; only the cheap z-bias and the
+        subsequent layers carry the M axis.
+        """
+        c = self.unet_output_channels
+        w1 = self.layer0_weight[0, 0]
+        feat_part = self._mm(feature_map, w1[:c])                   # (B, H, W, C)
+        z_part = self._mm(zs, w1[c:]) + self.layer0_bias            # (M, B, C)
+        h = feat_part[None] + z_part[:, :, None, None, :]           # (M, B, H, W, C)
+        h = nn.relu(h.astype(feature_map.dtype))
+        h = nn.relu(
+            (self._mm(h, self.layer1_weight[0, 0]) + self.layer1_bias).astype(
+                feature_map.dtype
+            )
+        )
+        out = self._mm(h, self.layer2_weight[0, 0]) + self.layer2_bias
+        out = out.astype(feature_map.dtype)                         # (M, B, H, W, K)
+        return jnp.swapaxes(out, 0, 1)                              # (B, M, H, W, K)

@@ -1,0 +1,109 @@
+"""Axis-aligned convolutional Gaussian prior/posterior encoder.
+
+Re-design of ``AxisAlignedConvGaussian`` (reference src/prob_unet.py:12-85):
+a stack of [MaxPool2x2 +] 3x(conv3x3 + ReLU) per filter level, global average
+pooling, and two 1x1 convs producing (mu, log_sigma). Returns a
+:class:`~probunet_tpu.ops.distributions.DiagGaussian` pytree instead of a
+``torch.distributions`` object, so it flows through jit/vmap/grad.
+
+The posterior variant concatenates the target onto the input channel axis
+(reference src/prob_unet.py:66-67). Initialization matches the reference's
+``init_weights`` (kaiming-normal fan-in/ReLU weights + truncated-normal(0.001)
+biases, reference src/prob_unet_utils.py:18-23).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from probunet_tpu.ops.distributions import DiagGaussian
+
+
+def kaiming_relu_init(key, shape, dtype=jnp.float32):
+    """torch ``kaiming_normal_(mode='fan_in', nonlinearity='relu')``:
+    std = sqrt(2 / fan_in), fan_in = prod(kernel) * in_channels (HWIO)."""
+    fan_in = 1
+    for d in shape[:-1]:
+        fan_in *= d
+    std = (2.0 / fan_in) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def trunc_normal_bias_init(std: float = 0.001):
+    """Truncated normal in (-2, 2) scaled by std
+    (reference src/prob_unet_utils.py:10-16,23)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+class _Conv3x3(nn.Module):
+    features: int
+    kernel: int = 3
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel
+        w = self.param("weight", kaiming_relu_init, (k, k, cin, self.features))
+        b = self.param("bias", trunc_normal_bias_init(), (self.features,))
+        dt = self.dtype or x.dtype
+        pad = k // 2
+        y = lax.conv_general_dilated(
+            x.astype(dt),
+            w.astype(dt),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + b).astype(x.dtype)
+
+
+def _max_pool2(x):
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+class AxisAlignedConvGaussian(nn.Module):
+    """Conv encoder -> DiagGaussian over the latent axis
+    (reference src/prob_unet.py:12-85)."""
+
+    num_filters: Sequence[int]
+    latent_dim: int
+    posterior: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, target=None) -> DiagGaussian:
+        if self.posterior and target is not None:
+            x = jnp.concatenate([x, target], axis=-1)
+
+        for i, filters in enumerate(self.num_filters):
+            if i != 0:
+                x = _max_pool2(x)
+            x = nn.relu(_Conv3x3(filters, dtype=self.dtype, name=f"enc{i}_conv0")(x))
+            x = nn.relu(_Conv3x3(filters, dtype=self.dtype, name=f"enc{i}_conv1")(x))
+            x = nn.relu(_Conv3x3(filters, dtype=self.dtype, name=f"enc{i}_conv2")(x))
+
+        # Global average pooling (reference src/prob_unet.py:73)
+        h = x.mean(axis=(1, 2), keepdims=True)  # (B, 1, 1, C)
+        mu = _Conv3x3(self.latent_dim, kernel=1, dtype=self.dtype, name="conv_mu")(h)
+        log_sigma = _Conv3x3(
+            self.latent_dim, kernel=1, dtype=self.dtype, name="conv_log_sigma"
+        )(h)
+        return DiagGaussian(mu=mu[:, 0, 0, :], log_sigma=log_sigma[:, 0, 0, :])

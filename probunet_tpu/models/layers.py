@@ -1,0 +1,291 @@
+"""EDM-style primitive layers in Flax (NHWC, TPU-native).
+
+Functional re-design of the primitives the reference's U-Net is built from
+(reference src/networks.py:21-218, duplicated at
+src/baseline/deterministic_unet.py:21-222):
+
+- the four EDM ``weight_init`` modes with explicit fan-in/out and separate
+  weight/bias scales (reference src/networks.py:21-26), including the EDM
+  quirk that conv *biases* are initialized with the conv weight's fan-in;
+- ``EDMConv`` with optional 2x resampling. The reference implements
+  resampling as grouped (transposed) convs with the [1,1] separable filter
+  (src/networks.py:68-92); for that filter those are mathematically exactly
+  nearest-neighbor 2x upsampling / 2x2 mean pooling, which is what we emit —
+  XLA lowers these to cheap reshapes/reductions instead of grouped convs
+  (grouped convs map poorly onto the MXU);
+- ``EDMGroupNorm`` with the adaptive group count min(32, C // 4)
+  (src/networks.py:97-107);
+- ``UNetBlock``: GN -> SiLU -> conv(up/down) -> FiLM from embedding ->
+  dropout -> zero-init conv -> skip, with optional self-attention
+  (src/networks.py:134-187). Attention runs in fp32 like the reference's
+  ``AttentionOp`` (src/networks.py:114-127) — JAX autodiff provides the
+  custom backward for free.
+
+Compute dtype: pass ``dtype=jnp.bfloat16`` to run convs/matmuls in bf16 on
+the MXU with fp32 accumulation (``preferred_element_type``); parameters are
+always stored fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from probunet_tpu.ops.resample import avg_pool, upsample_nearest
+
+# (init_mode, init_weight_scale, init_bias_scale) triples, mirroring the two
+# dicts built in reference src/networks.py:246-247:
+INIT_DEFAULT = ("kaiming_normal", 1.0, 0.0)
+INIT_EDM = ("kaiming_uniform", math.sqrt(1.0 / 3.0), math.sqrt(1.0 / 3.0))
+INIT_ZERO = ("kaiming_uniform", 0.0, 0.0)
+
+
+def edm_init(mode: str, fan_in: int, fan_out: int, scale: float):
+    """Initializer implementing reference src/networks.py:21-26 semantics."""
+
+    def init(key, shape, dtype=jnp.float32):
+        if scale == 0.0:
+            return jnp.zeros(shape, dtype)
+        if mode == "xavier_uniform":
+            w = math.sqrt(6 / (fan_in + fan_out)) * (
+                jax.random.uniform(key, shape, dtype) * 2 - 1
+            )
+        elif mode == "xavier_normal":
+            w = math.sqrt(2 / (fan_in + fan_out)) * jax.random.normal(key, shape, dtype)
+        elif mode == "kaiming_uniform":
+            w = math.sqrt(3 / fan_in) * (jax.random.uniform(key, shape, dtype) * 2 - 1)
+        elif mode == "kaiming_normal":
+            w = math.sqrt(1 / fan_in) * jax.random.normal(key, shape, dtype)
+        else:
+            raise ValueError(f'Invalid init mode "{mode}"')
+        return w * scale
+
+    return init
+
+
+class EDMLinear(nn.Module):
+    """Fully-connected layer with EDM init (reference src/networks.py:31-44)."""
+
+    features: int
+    use_bias: bool = True
+    init: Tuple[str, float, float] = INIT_DEFAULT
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        mode, w_scale, b_scale = self.init
+        w = self.param(
+            "weight", edm_init(mode, fan_in, self.features, w_scale),
+            (fan_in, self.features),
+        )
+        dt = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param(
+                "bias", edm_init(mode, fan_in, self.features, b_scale), (self.features,)
+            )
+            y = y + b
+        return y.astype(x.dtype)
+
+
+class EDMConv(nn.Module):
+    """3x3 / 1x1 conv with optional fixed 2x up/down resampling.
+
+    kernel=0 means "resample only" (the channel-preserving skip path,
+    reference src/networks.py:158-159). With the reference's default
+    resample_filter=[1,1], its grouped-conv resampling equals nearest 2x
+    upsampling (up) / 2x2 average pooling (down), applied BEFORE the learned
+    conv (the unfused branch actually taken, src/networks.py:83-89).
+    """
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = True
+    up: bool = False
+    down: bool = False
+    init: Tuple[str, float, float] = INIT_DEFAULT
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        assert not (self.up and self.down)
+        if self.up:
+            x = upsample_nearest(x, 2)
+        if self.down:
+            x = avg_pool(x, 2)
+        if not self.kernel:
+            return x
+
+        cin = x.shape[-1]
+        k = self.kernel
+        fan_in = cin * k * k
+        fan_out = self.features * k * k
+        mode, w_scale, b_scale = self.init
+        w = self.param(
+            "weight", edm_init(mode, fan_in, fan_out, w_scale), (k, k, cin, self.features)
+        )
+        dt = self.dtype or x.dtype
+        pad = k // 2
+        y = lax.conv_general_dilated(
+            x.astype(dt),
+            w.astype(dt),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", edm_init(mode, fan_in, fan_out, b_scale), (self.features,)
+            )
+            y = y + b
+        return y.astype(x.dtype)
+
+
+class EDMGroupNorm(nn.Module):
+    """GroupNorm with adaptive group count (reference src/networks.py:97-107)."""
+
+    num_groups: int = 32
+    min_channels_per_group: int = 4
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        groups = min(self.num_groups, c // self.min_channels_per_group)
+        return nn.GroupNorm(num_groups=groups, epsilon=self.eps, name="gn")(x)
+
+
+class PositionalEmbedding(nn.Module):
+    """DDPM++/ADM timestep embedding (reference src/networks.py:192-205)."""
+
+    num_channels: int
+    max_positions: int = 10000
+    endpoint: bool = False
+
+    def __call__(self, x):
+        half = self.num_channels // 2
+        freqs = jnp.arange(half, dtype=jnp.float32)
+        freqs = freqs / (half - (1 if self.endpoint else 0))
+        freqs = (1.0 / self.max_positions) ** freqs
+        args = jnp.outer(x.astype(jnp.float32), freqs)
+        return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
+
+
+class FourierEmbedding(nn.Module):
+    """NCSN++ Fourier embedding (reference src/networks.py:210-218)."""
+
+    num_channels: int
+    scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x):
+        freqs = self.param(
+            "freqs",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.num_channels // 2,),
+        )
+        args = jnp.outer(x.astype(jnp.float32), 2 * jnp.pi * freqs)
+        return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=1)
+
+
+class UNetBlock(nn.Module):
+    """Unified residual U-Net block (reference src/networks.py:134-187).
+
+    FiLM note: in the reference's current stack the embedding input is a
+    constant zero vector (src/networks.py:310-316), so the `affine` layer
+    contributes only its learned bias as per-channel (scale, shift). The
+    full embedding path is kept here — XLA constant-folds the zero input.
+    """
+
+    out_channels: int
+    up: bool = False
+    down: bool = False
+    attention: bool = False
+    num_heads: Optional[int] = None
+    channels_per_head: int = 64
+    dropout: float = 0.0
+    skip_scale: float = 1.0
+    eps: float = 1e-5
+    adaptive_scale: bool = True
+    init: Tuple[str, float, float] = INIT_EDM
+    init_zero: Tuple[str, float, float] = INIT_ZERO
+    init_attn: Optional[Tuple[str, float, float]] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, emb, train: bool = False):
+        in_channels = x.shape[-1]
+        out = self.out_channels
+        heads = (
+            0
+            if not self.attention
+            else (
+                self.num_heads
+                if self.num_heads is not None
+                else out // self.channels_per_head
+            )
+        )
+
+        orig = x
+        x = EDMGroupNorm(eps=self.eps, name="norm0")(x)
+        x = EDMConv(
+            out, 3, up=self.up, down=self.down, init=self.init, dtype=self.dtype,
+            name="conv0",
+        )(nn.silu(x))
+
+        params = EDMLinear(
+            out * (2 if self.adaptive_scale else 1), init=self.init,
+            dtype=self.dtype, name="affine",
+        )(emb)
+        params = params[:, None, None, :]  # (B, 1, 1, C or 2C)
+        if self.adaptive_scale:
+            scale, shift = jnp.split(params, 2, axis=-1)
+            x = nn.silu(shift + EDMGroupNorm(eps=self.eps, name="norm1")(x) * (scale + 1))
+        else:
+            x = nn.silu(EDMGroupNorm(eps=self.eps, name="norm1")(x + params))
+
+        x = nn.Dropout(self.dropout, name="drop")(x, deterministic=not train)
+        x = EDMConv(out, 3, init=self.init_zero, dtype=self.dtype, name="conv1")(x)
+
+        if out != in_channels or self.up or self.down:
+            kernel = 1 if out != in_channels else 0
+            skip = EDMConv(
+                out, kernel, up=self.up, down=self.down, init=self.init,
+                dtype=self.dtype, name="skip",
+            )(orig)
+        else:
+            skip = orig
+        x = (x + skip) * self.skip_scale
+
+        if heads:
+            b, h, w, c = x.shape
+            y = EDMGroupNorm(eps=self.eps, name="norm2")(x)
+            qkv = EDMConv(
+                c * 3, 1,
+                init=(self.init_attn if self.init_attn is not None else self.init),
+                dtype=self.dtype, name="qkv",
+            )(y)
+            # (B, H, W, 3C) -> (B*heads, ch, 3, HW) split like the reference
+            ch = c // heads
+            qkv = qkv.reshape(b, h * w, heads, 3 * ch).transpose(0, 2, 3, 1)
+            qkv = qkv.reshape(b * heads, 3, ch, h * w)
+            q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # (B*heads, ch, HW)
+            # fp32 softmax(Q^T K / sqrt(ch)) as in reference AttentionOp
+            logits = jnp.einsum(
+                "ncq,nck->nqk",
+                q.astype(jnp.float32),
+                k.astype(jnp.float32) / math.sqrt(ch),
+            )
+            wgt = jax.nn.softmax(logits, axis=2).astype(x.dtype)
+            a = jnp.einsum("nqk,nck->ncq", wgt, v)
+            a = a.reshape(b, heads, ch, h * w).transpose(0, 3, 1, 2).reshape(b, h, w, c)
+            x = x + EDMConv(c, 1, init=self.init_zero, dtype=self.dtype, name="proj")(a)
+            x = x * self.skip_scale
+        return x

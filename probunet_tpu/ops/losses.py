@@ -1,0 +1,187 @@
+"""Reconstruction losses for probabilistic downscaling.
+
+TPU-first re-implementations of the reference loss zoo:
+
+- ``afcrps_loss`` — almost-fair CRPS (reference src/prob_unet_utils.py:171-234).
+  The reference materializes the full [B, M, M, C, H, W] pairwise tensor
+  (~1.4 GB at B=32, M=15, 3x128x128). Here the pairwise ensemble-spread sum
+  is computed with the exact sorted identity
+      sum_{j<k} |x_j - x_k| = sum_i (2i - M + 1) * x_(i)
+  (ascending sort over M), which is O(M log M) time and O(M) memory per pixel
+  and produces bit-identical math (sums of the same absolute differences).
+- ``crps_loss`` — plain ensemble CRPS (reference src/prob_unet_utils.py:237-268),
+  same sorted trick.
+- ``*_pairwise`` variants keep the literal O(M^2) formulation as golden
+  oracles for tests.
+- ``crps_empirical`` — the Pyro sort-based per-element CRPS used by the
+  deterministic stack (reference src/trainmodel.py:66-110).
+- ``wmse_ms_ssim_loss`` — lambda*WMSE + (1-lambda)*(1 - MS-SSIM)
+  (reference src/prob_unet_utils.py:270-305), with MS-SSIM from
+  :mod:`probunet_tpu.ops.msssim`.
+
+Shape conventions: ensembles are ``(B, M, *spatial)``, targets ``(B, *spatial)``
+where ``*spatial`` is any trailing layout (NHWC or NCHW both work — reductions
+cover all trailing axes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _flatten_spatial(x: jax.Array, lead: int) -> jax.Array:
+    """Collapse all axes after the first `lead` into one."""
+    return x.reshape(*x.shape[:lead], -1)
+
+
+def _pairwise_abs_sum_sorted(ens: jax.Array) -> jax.Array:
+    """sum_{j<k} |x_j - x_k| along axis 1 of (B, M, P), reduced over M and P.
+
+    Uses the sorted identity; returns shape (B,).
+    """
+    m = ens.shape[1]
+    srt = jnp.sort(ens, axis=1)
+    coeff = (2.0 * jnp.arange(m, dtype=ens.dtype) - (m - 1)).reshape(1, m, 1)
+    return jnp.sum(srt * coeff, axis=(1, 2))
+
+
+def afcrps_loss(ensemble: jax.Array, target: jax.Array, alpha: float = 0.95) -> jax.Array:
+    """Almost-fair CRPS, scalar mean over batch.
+
+    afCRPS = 1/[2M(M-1)] * sum_{j != k} (|x_j - y| + |x_k - y| - (1-eps)|x_j - x_k|)
+    with eps = (1 - alpha)/M, normalized per pixel — exactly the quantity of
+    reference src/prob_unet_utils.py:171-234, computed without the M^2 tensor:
+      sum_{j != k} (|x_j-y| + |x_k-y|)  == 2(M-1) sum_j |x_j - y|
+      sum_{j != k} |x_j - x_k|          == 2 sum_{j<k} |x_j - x_k|  (sorted form)
+    """
+    b, m = ensemble.shape[0], ensemble.shape[1]
+    if m < 2:
+        raise ValueError(f"M must be >= 2 for afCRPS, got M={m}")
+    eps = (1.0 - alpha) / m
+    p = math.prod(ensemble.shape[2:])
+
+    ens = _flatten_spatial(ensemble, 2)            # (B, M, P)
+    tgt = _flatten_spatial(target, 1)[:, None, :]  # (B, 1, P)
+
+    term_y = jnp.sum(jnp.abs(ens - tgt), axis=(1, 2))        # (B,)
+    term_pair = _pairwise_abs_sum_sorted(ens)                 # (B,)
+
+    total = 2.0 * (m - 1) * term_y - (1.0 - eps) * 2.0 * term_pair
+    per_batch = total / (2.0 * m * (m - 1)) / p
+    return per_batch.mean()
+
+
+def afcrps_loss_pairwise(
+    ensemble: jax.Array, target: jax.Array, alpha: float = 0.95
+) -> jax.Array:
+    """Literal O(M^2) afCRPS — golden oracle mirroring the reference tensor
+    algebra (src/prob_unet_utils.py:197-234). Test use only."""
+    b, m = ensemble.shape[0], ensemble.shape[1]
+    eps = (1.0 - alpha) / m
+    p = math.prod(ensemble.shape[2:])
+    ens = _flatten_spatial(ensemble, 2)
+    tgt = _flatten_spatial(target, 1)[:, None, :]
+
+    xy = jnp.abs(ens - tgt)                                   # (B, M, P)
+    term_jy_ky = xy[:, :, None, :] + xy[:, None, :, :]        # (B, M, M, P)
+    term_jk = (1.0 - eps) * jnp.abs(ens[:, :, None, :] - ens[:, None, :, :])
+    combined = term_jy_ky - term_jk
+    mask = (1.0 - jnp.eye(m, dtype=ensemble.dtype)).reshape(1, m, m, 1)
+    s = jnp.sum(combined * mask, axis=(1, 2, 3))
+    return (s / (2.0 * m * (m - 1)) / p).mean()
+
+
+def crps_loss(ensemble: jax.Array, target: jax.Array) -> jax.Array:
+    """Ensemble CRPS: E|x - y| - 0.5 E|x - x'| over all ordered pairs,
+    averaged over batch and pixels (reference src/prob_unet_utils.py:237-268),
+    via the sorted pairwise identity."""
+    m = ensemble.shape[1]
+    p = math.prod(ensemble.shape[2:])
+    ens = _flatten_spatial(ensemble, 2)
+    tgt = _flatten_spatial(target, 1)[:, None, :]
+
+    first = jnp.sum(jnp.abs(ens - tgt), axis=(1, 2)) / m       # (B,) * P-summed
+    second = 2.0 * _pairwise_abs_sum_sorted(ens) / (m * m)     # ordered pairs
+    return ((first - 0.5 * second) / p).mean()
+
+
+def crps_loss_pairwise(ensemble: jax.Array, target: jax.Array) -> jax.Array:
+    """Literal O(M^2) CRPS oracle (reference src/prob_unet_utils.py:254-268)."""
+    m = ensemble.shape[1]
+    ens = _flatten_spatial(ensemble, 2)
+    tgt = _flatten_spatial(target, 1)[:, None, :]
+    first = jnp.abs(ens - tgt).mean(axis=1)                     # (B, P)
+    pair = jnp.abs(ens[:, :, None, :] - ens[:, None, :, :])     # (B, M, M, P)
+    second = pair.mean(axis=(1, 2))                             # (B, P)
+    return (first - 0.5 * second).mean()
+
+
+def crps_empirical(pred: jax.Array, truth: jax.Array) -> jax.Array:
+    """Pyro-style sort-based per-element CRPS (reference src/trainmodel.py:66-110).
+
+    pred: (num_samples, *truth.shape); returns array of truth.shape.
+    """
+    n = pred.shape[0]
+    if n == 1:
+        return jnp.abs(pred[0] - truth)
+    srt = jnp.sort(pred, axis=0)
+    diff = srt[1:] - srt[:-1]
+    weight = (
+        jnp.arange(1, n, dtype=pred.dtype)
+        * jnp.arange(n - 1, 0, -1, dtype=pred.dtype)
+    ).reshape((n - 1,) + (1,) * truth.ndim)
+    return jnp.abs(pred - truth).mean(axis=0) - jnp.sum(diff * weight, axis=0) / n**2
+
+
+def wmse_weights(target: jax.Array, alpha: float = 0.007, beta: float = 0.048):
+    """w(y) = min(alpha * exp(beta * y), 1) (reference src/prob_unet_utils.py:292)."""
+    return jnp.clip(alpha * jnp.exp(beta * target), max=1.0)
+
+
+def wmse_ms_ssim_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    alpha: float = 0.007,
+    beta: float = 0.048,
+    lam: float = 0.0,
+    return_components: bool = False,
+    data_range=None,
+):
+    """lambda*WMSE + (1-lambda)*(1 - MS-SSIM) (reference src/prob_unet_utils.py:270-305).
+
+    pred/target: (B, H, W, C) NHWC; a 5-D ensemble (B, M, H, W, C) collapses to
+    its mean, as in the reference (:285-286). data_range defaults to the
+    per-call target max-min clamped to >= 1e-5 (:288-289).
+    """
+    from probunet_tpu.ops.msssim import ms_ssim
+
+    if pred.ndim == 5:
+        pred = pred.mean(axis=1)
+    if data_range is None:
+        data_range = jnp.clip(target.max() - target.min(), min=1e-5)
+
+    w = wmse_weights(target, alpha=alpha, beta=beta)
+    wmse = jnp.mean(w * (pred - target) ** 2)
+
+    msssim_val = ms_ssim(pred, target, data_range=data_range, win_size=7)
+    msssim_loss = 1.0 - msssim_val
+
+    combined = lam * wmse + (1.0 - lam) * msssim_loss
+    if return_components:
+        return combined, wmse, msssim_loss
+    return combined
+
+
+def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Mean absolute error (the original L1 ELBO recon term,
+    reference src/prob_unet.py:359-362)."""
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def l1_loss_per_channel(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Per-channel (last axis, NHWC) L1 for logging
+    (reference src/prob_unet.py:357-360 logs per-variable L1)."""
+    return jnp.mean(jnp.abs(pred - target), axis=tuple(range(pred.ndim - 1)))

@@ -1,0 +1,331 @@
+"""Model architecture tests.
+
+Parameter-count parity is checked against the actual PyTorch reference
+modules (imported from /root/reference), which pins the architecture
+(channel widths, skip wiring, affine/normalization layers) without copying
+any code. Forward-shape and gradient-flow tests run on small configs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from probunet_tpu.models import (
+    AxisAlignedConvGaussian,
+    EDMPrecond,
+    Fcomb,
+    LinearCNN,
+    ProbabilisticUNet,
+    UNet,
+    UNetAll,
+)
+
+REF = "/root/reference/src"
+
+
+def _param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def _import_reference_networks():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import networks  # type: ignore
+
+    return networks
+
+
+def _import_reference_prob_unet():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # prob_unet imports prob_unet_utils which imports pytorch_msssim (absent);
+    # stub it — we only need module construction for parameter counting.
+    if "pytorch_msssim" not in sys.modules:
+        stub = types.ModuleType("pytorch_msssim")
+        stub.ms_ssim = lambda *a, **k: None
+        sys.modules["pytorch_msssim"] = stub
+    import prob_unet  # type: ignore
+
+    return prob_unet
+
+
+class TestUNetParity:
+    @pytest.mark.parametrize(
+        "res,cin,cout,mc,mult",
+        [
+            ((128, 128), 3, 32, 32, [1, 2, 4, 8]),   # flagship (main.py:35-45)
+            ((64, 64), 1, 16, 16, [1, 4, 8, 16]),    # networks.py defaults
+        ],
+    )
+    def test_param_count_matches_reference(self, res, cin, cout, mc, mult):
+        networks = _import_reference_networks()
+        ref = networks.UNet(
+            img_resolution=res, in_channels=cin, out_channels=cout,
+            label_dim=1, model_channels=mc, channel_mult=mult, use_diffuse=False,
+        )
+        ref_count = sum(p.numel() for p in ref.parameters())
+
+        ours = UNet(
+            img_resolution=res, in_channels=cin, out_channels=cout,
+            label_dim=1, model_channels=mc, channel_mult=tuple(mult),
+        )
+        params = ours.init(
+            {"params": jax.random.key(0)}, jnp.zeros((1, *res, cin))
+        )["params"]
+        assert _param_count(params) == ref_count
+
+    def test_forward_shape_and_finite(self):
+        model = UNet(
+            img_resolution=(32, 32), in_channels=3, out_channels=8,
+            model_channels=16, channel_mult=(1, 2), num_blocks=1,
+        )
+        x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+        params = model.init({"params": jax.random.key(0)}, x)
+        y = model.apply(params, x)
+        assert y.shape == (2, 32, 32, 8)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_zero_init_out_conv_gives_zero_output(self):
+        # out_conv is zero-init (reference src/networks.py:247,297) -> initial
+        # output must be exactly zero
+        model = UNet(
+            img_resolution=(16, 16), in_channels=2, out_channels=4,
+            model_channels=16, channel_mult=(1, 2), num_blocks=1,
+        )
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 2))
+        params = model.init({"params": jax.random.key(0)}, x)
+        y = model.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+    def test_non_square_resolution(self):
+        # reference supports resx != resy (src/networks.py:263-264)
+        model = UNet(
+            img_resolution=(32, 16), in_channels=1, out_channels=2,
+            model_channels=16, channel_mult=(1, 2), num_blocks=1,
+        )
+        x = jnp.zeros((1, 32, 16, 1))
+        params = model.init({"params": jax.random.key(0)}, x)
+        assert model.apply(params, x).shape == (1, 32, 16, 2)
+
+    def test_dropout_requires_rng_only_in_train(self):
+        model = UNet(
+            img_resolution=(16, 16), in_channels=1, out_channels=2,
+            model_channels=16, channel_mult=(1, 2), num_blocks=1, dropout=0.5,
+        )
+        x = jnp.ones((1, 16, 16, 1))
+        params = model.init({"params": jax.random.key(0)}, x)
+        # eval mode: deterministic, no rng needed
+        y1 = model.apply(params, x)
+        y2 = model.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        # train mode with rng works
+        model.apply(params, x, train=True, rngs={"dropout": jax.random.key(2)})
+
+
+class TestProbUNetParity:
+    def test_prior_posterior_fcomb_param_counts(self):
+        prob_unet = _import_reference_prob_unet()
+        nf = [16, 32]
+        latent, cin, ncls = 6, 3, 3
+
+        ref_prior = prob_unet.AxisAlignedConvGaussian(cin, nf, latent, posterior=False)
+        ref_post = prob_unet.AxisAlignedConvGaussian(cin, nf, latent, posterior=True)
+        ref_fcomb = prob_unet.Fcomb(nf[0], latent, ncls)
+
+        x = jnp.zeros((1, 16, 16, cin))
+        ours_prior = AxisAlignedConvGaussian(num_filters=nf, latent_dim=latent)
+        p = ours_prior.init({"params": jax.random.key(0)}, x)["params"]
+        assert _param_count(p) == sum(q.numel() for q in ref_prior.parameters())
+
+        ours_post = AxisAlignedConvGaussian(
+            num_filters=nf, latent_dim=latent, posterior=True
+        )
+        p = ours_post.init({"params": jax.random.key(0)}, x, x)["params"]
+        assert _param_count(p) == sum(q.numel() for q in ref_post.parameters())
+
+        ours_fcomb = Fcomb(unet_output_channels=nf[0], latent_dim=latent, num_classes=ncls)
+        p = ours_fcomb.init(
+            {"params": jax.random.key(0)}, jnp.zeros((1, 16, 16, nf[0])),
+            jnp.zeros((1, latent)),
+        )["params"]
+        assert _param_count(p) == sum(q.numel() for q in ref_fcomb.parameters())
+
+    def test_full_model_param_count(self):
+        prob_unet = _import_reference_prob_unet()
+        ref = prob_unet.ProbabilisticUNet(
+            input_channels=3, num_classes=3, latent_dim=6,
+            num_filters=[16, 32], model_channels=32, channel_mult=[1, 2],
+            beta_0=1.0, beta_1=0.0, beta_2=0.0,
+        )
+        ref_count = sum(p.numel() for p in ref.parameters())
+
+        ours = ProbabilisticUNet(
+            input_channels=3, num_classes=3, latent_dim=6,
+            num_filters=(16, 32), model_channels=32, channel_mult=(1, 2),
+            img_resolution=(128, 128),
+        )
+        x = jnp.zeros((1, 128, 128, 3))
+        variables = ours.init(
+            {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+        )
+        assert _param_count(variables["params"]) == ref_count
+
+    def test_fcomb_matches_concat_formulation(self):
+        """Split-matmul fcomb == 1x1 conv on [feats ; tiled z] concat."""
+        c, d, k = 8, 4, 3
+        fc = Fcomb(unet_output_channels=c, latent_dim=d, num_classes=k)
+        feats = jax.random.normal(jax.random.key(0), (2, 6, 6, c))
+        z = jax.random.normal(jax.random.key(1), (2, d))
+        variables = fc.init({"params": jax.random.key(2)}, feats, z)
+        out = fc.apply(variables, feats, z)
+
+        p = variables["params"]
+        tiled = jnp.broadcast_to(z[:, None, None, :], (2, 6, 6, d))
+        cat = jnp.concatenate([feats, tiled], axis=-1)
+        h = jax.nn.relu(cat @ p["layer0_weight"][0, 0] + p["layer0_bias"])
+        h = jax.nn.relu(h @ p["layer1_weight"][0, 0] + p["layer1_bias"])
+        ref = h @ p["layer2_weight"][0, 0] + p["layer2_bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_fcomb_ensemble_matches_loop(self):
+        c, d, k, m = 8, 4, 3, 5
+        fc = Fcomb(unet_output_channels=c, latent_dim=d, num_classes=k)
+        feats = jax.random.normal(jax.random.key(0), (2, 6, 6, c))
+        zs = jax.random.normal(jax.random.key(1), (m, 2, d))
+        variables = fc.init({"params": jax.random.key(2)}, feats, zs[0])
+        ens = fc.apply(variables, feats, zs, method=Fcomb.ensemble)
+        assert ens.shape == (2, m, 6, 6, k)
+        for i in range(m):
+            single = fc.apply(variables, feats, zs[i])
+            np.testing.assert_allclose(
+                np.asarray(ens[:, i]), np.asarray(single), rtol=1e-5, atol=1e-5
+            )
+
+    def test_gaussian_output(self):
+        g = AxisAlignedConvGaussian(num_filters=(8, 16), latent_dim=4)
+        x = jax.random.normal(jax.random.key(0), (3, 16, 16, 2))
+        variables = g.init({"params": jax.random.key(1)}, x)
+        dist = g.apply(variables, x)
+        assert dist.mu.shape == (3, 4)
+        assert dist.log_sigma.shape == (3, 4)
+        assert (np.asarray(dist.sigma) > 0).all()
+
+
+class TestProbUNetForward:
+    def _small(self):
+        return ProbabilisticUNet(
+            input_channels=2, num_classes=2, latent_dim=4,
+            num_filters=(8, 16), model_channels=16, channel_mult=(1, 2),
+            img_resolution=(32, 32), num_blocks=1,
+        )
+
+    def test_forward_prior_and_posterior(self):
+        m = self._small()
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        y = jax.random.normal(jax.random.key(1), (2, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)}, x, y
+        )
+        out_post = m.apply(
+            variables, x, y, training=True, rngs={"latent": jax.random.key(4),
+                                                  "dropout": jax.random.key(5)}
+        )
+        out_prior = m.apply(
+            variables, x, training=False, rngs={"latent": jax.random.key(4)}
+        )
+        assert out_post.shape == (2, 32, 32, 2)
+        assert out_prior.shape == (2, 32, 32, 2)
+
+    def test_elbo_all_loss_types(self):
+        m = self._small()
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        y = jax.random.normal(jax.random.key(1), (2, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)}, x, y
+        )
+        for lt, M in [("afcrps", 3), ("crps", 3), ("l1", 1)]:
+            total, metrics = m.apply(
+                variables, x, y, M=M, loss_type=lt, beta_1=0.5,
+                method=ProbabilisticUNet.elbo,
+                rngs={"latent": jax.random.key(4), "dropout": jax.random.key(5)},
+            )
+            assert np.isfinite(float(total)), lt
+            assert np.isfinite(float(metrics["kl_mean"]))
+
+    def test_elbo_grads_finite_and_nonzero(self):
+        m = self._small()
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        y = jax.random.normal(jax.random.key(1), (2, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)}, x, y
+        )
+
+        def loss_fn(params):
+            total, _ = m.apply(
+                {"params": params}, x, y, M=3, loss_type="afcrps", beta_1=1.0,
+                method=ProbabilisticUNet.elbo,
+                rngs={"latent": jax.random.key(4), "dropout": jax.random.key(5)},
+            )
+            return total
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        flat = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # posterior must receive gradient through rsample + KL
+        post_grads = jax.tree.leaves(grads["posterior"])
+        assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in post_grads)
+        prior_grads = jax.tree.leaves(grads["prior"])
+        assert any(float(np.abs(np.asarray(g)).max()) > 0 for g in prior_grads)
+
+    def test_sample_ensemble_shape(self):
+        m = self._small()
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        y = jax.random.normal(jax.random.key(1), (2, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)}, x, y
+        )
+        ens = m.apply(
+            variables, x, 4, method=ProbabilisticUNet.sample,
+            rngs={"latent": jax.random.key(6)},
+        )
+        assert ens.shape == (2, 4, 32, 32, 2)
+        # members must differ (latent actually used)
+        assert float(jnp.abs(ens[:, 0] - ens[:, 1]).max()) > 0
+
+
+class TestVariants:
+    def test_unet_all_asymmetric(self):
+        # num_res_blocks must be >= 2 so the first three encoder skips all sit
+        # at full LR resolution (same constraint as the reference,
+        # src/networks.py:372 with skips_postunet = skips[:3])
+        for typ in ("asymmetric_wskips", "asymmetric_woskips"):
+            model = UNetAll(
+                type=typ, img_resolution=(32, 32), in_channels=1, ds_scale=4,
+                num_res_blocks=2, channel_mult=(1, 2), out_channels=1,
+            )
+            x = jnp.zeros((1, 8, 8, 1))  # LR input for asymmetric variants
+            variables = model.init({"params": jax.random.key(0)}, x)
+            y = model.apply(variables, x)
+            assert y.shape == (1, 32, 32, 1), typ
+
+    def test_edm_precond(self):
+        model = EDMPrecond(
+            img_resolution=(16, 16), in_channels=1, out_channels=1,
+            model_channels=16, channel_mult=(1, 2), num_blocks=1,
+        )
+        x = jnp.ones((2, 16, 16, 1))
+        sigma = jnp.asarray([0.5, 1.0])
+        variables = model.init({"params": jax.random.key(0)}, x, sigma)
+        y = model.apply(variables, x, sigma)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_linear_cnn(self):
+        model = LinearCNN(in_channels=3)
+        x = jnp.zeros((2, 16, 16, 3))
+        variables = model.init({"params": jax.random.key(0)}, x)
+        assert model.apply(variables, x).shape == x.shape
