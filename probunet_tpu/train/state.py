@@ -1,0 +1,66 @@
+"""Train state: params + optimizer + step + PRNG, one pytree.
+
+Replaces the reference's scattered mutable state (model attributes, a global
+torch seed at src/main.py:15-26, optimizer object at src/main.py:103) with a
+single immutable pytree that is the input/output of the jitted step and the
+unit of checkpointing (params, opt_state, step, rng — everything needed for
+exact resume, which the reference cannot do mid-training; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + threaded PRNG key.
+
+    The per-step rng is derived as fold_in(rng, step) inside the jitted step,
+    so resuming from a checkpoint reproduces the same sample sequence.
+    """
+
+    rng: jax.Array = struct.field(pytree_node=True, default=None)
+
+
+def make_optimizer(
+    lr: float = 1e-4, weight_decay: float = 0.01, grad_clip: float = 0.0
+) -> optax.GradientTransformation:
+    """AdamW with torch-default hyperparameters (betas 0.9/0.999, eps 1e-8,
+    weight_decay 0.01 — the reference uses torch.optim.AdamW defaults,
+    src/train_prob_unet_model.py:53, src/main.py:103)."""
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def create_train_state(
+    model: Any,
+    example_inputs,
+    example_targets,
+    seed: int = 42,
+    lr: float = 1e-4,
+    weight_decay: float = 0.01,
+    grad_clip: float = 0.0,
+    init_method=None,
+) -> TrainState:
+    """Initialize parameters and optimizer for a ProbabilisticUNet-style model."""
+    key = jax.random.key(seed)
+    init_key, latent_key, state_key = jax.random.split(key, 3)
+    variables = model.init(
+        {"params": init_key, "latent": latent_key},
+        example_inputs,
+        example_targets,
+        **({} if init_method is None else {"method": init_method}),
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(lr, weight_decay, grad_clip),
+        rng=state_key,
+    )

@@ -1,0 +1,198 @@
+"""Training stack tests: schedule parity with the reference loop, early
+stopping semantics, checkpoint round-trip, and a tiny end-to-end training run
+on synthetic data whose loss must decrease."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from probunet_tpu.config import Config
+from probunet_tpu.data import ClimexDataset
+from probunet_tpu.models import ProbabilisticUNet, LinearCNN
+from probunet_tpu.train import (
+    CheckpointManager,
+    EarlyStopper,
+    Trainer,
+    beta_schedule,
+    create_train_state,
+    make_deterministic_train_step,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class TestBetaSchedule:
+    def test_matches_reference_loop(self):
+        """Simulate the reference's post-epoch update (src/main.py:141-155)
+        and check beta_schedule(epoch) equals the beta in effect during each
+        epoch."""
+        num_epochs, warmup, max_b1 = 10, 2, 1.0
+        beta_0, beta_1 = 1.0, 0.0
+        in_effect = []
+        for epoch in range(1, num_epochs + 1):
+            in_effect.append((beta_0, beta_1))  # used during this epoch
+            if epoch <= warmup:
+                beta_0, beta_1 = 1.0, 0.0
+            else:
+                progress = min((epoch - warmup) / (num_epochs - warmup), 1.0)
+                beta_0, beta_1 = 1.0, progress * max_b1
+        ours = [beta_schedule(e, num_epochs, warmup, max_b1) for e in range(1, 11)]
+        for (eb0, eb1), (ob0, ob1) in zip(in_effect, ours):
+            assert ob0 == pytest.approx(eb0)
+            assert ob1 == pytest.approx(eb1)
+
+    def test_warmup_is_zero(self):
+        assert beta_schedule(1, 10, 2)[1] == 0.0
+        assert beta_schedule(3, 10, 2)[1] == 0.0  # first post-warmup epoch
+        assert beta_schedule(10, 10, 2)[1] < 1.0  # full 1.0 only reached after end
+
+
+class TestEarlyStopper:
+    def test_patience_and_restore(self):
+        s = EarlyStopper(patience=2, min_delta=0.0)
+        p1, p2 = {"w": jnp.asarray(1.0)}, {"w": jnp.asarray(2.0)}
+        stop, _ = s.early_stop(1.0, p1)
+        assert not stop
+        stop, _ = s.early_stop(1.5, p2)
+        assert not stop and s.counter == 1
+        stop, params = s.early_stop(1.6, p2)
+        assert stop
+        assert float(params["w"]) == 1.0  # best restored
+
+    def test_improvement_resets(self):
+        s = EarlyStopper(patience=2)
+        s.early_stop(1.0, {})
+        s.early_stop(1.5, {})
+        s.early_stop(0.9, {})
+        assert s.counter == 0
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.data.resolution = (32, 32)
+    cfg.data.coords = (0, 32, 0, 32)
+    cfg.data.lowres_scale = 8
+    cfg.data.variables = ("pr", "tasmin")
+    cfg.model.input_channels = 2
+    cfg.model.num_classes = 2
+    cfg.model.latent_dim = 4
+    cfg.model.num_filters = (8, 16)
+    cfg.model.model_channels = 16
+    cfg.model.channel_mult = (1, 2)
+    cfg.model.num_blocks = 1
+    cfg.train.batch_size = 8
+    cfg.train.ensemble_size = 4
+    cfg.train.eval_ensemble_size = 3
+    cfg.train.lr = 2e-3
+    cfg.loss.loss_type = "afcrps"
+    return cfg
+
+
+def _tiny_model(cfg):
+    return ProbabilisticUNet(
+        input_channels=cfg.model.input_channels,
+        num_classes=cfg.model.num_classes,
+        latent_dim=cfg.model.latent_dim,
+        num_filters=cfg.model.num_filters,
+        model_channels=cfg.model.model_channels,
+        channel_mult=cfg.model.channel_mult,
+        img_resolution=cfg.data.resolution,
+        num_blocks=cfg.model.num_blocks,
+    )
+
+
+def _tiny_dataset(cfg, t=64, seed=0):
+    from probunet_tpu.data.synthetic import synthetic_climex_fields
+
+    hr = synthetic_climex_fields(t, 32, 32, cfg.data.variables, seed=seed)
+    return ClimexDataset(
+        hr=hr, pipeline=cfg.data.pipeline, lowres_scale=cfg.data.lowres_scale,
+        transfo=False,
+    )
+
+
+class TestEndToEnd:
+    def test_loss_decreases(self):
+        cfg = _tiny_cfg()
+        model = _tiny_model(cfg)
+        ds = _tiny_dataset(cfg)
+        trainer = Trainer(cfg, model, ds)
+        hist = trainer.fit(num_epochs=3)
+        assert len(hist["train_crps"]) == 3
+        assert hist["train_crps"][-1] < hist["train_crps"][0]
+        assert np.isfinite(hist["train_kl"]).all()
+
+    def test_eval_and_early_stop_integration(self):
+        cfg = _tiny_cfg()
+        cfg.train.patience = 1
+        model = _tiny_model(cfg)
+        trainer = Trainer(cfg, model, _tiny_dataset(cfg), _tiny_dataset(cfg, seed=1))
+        hist = trainer.fit(num_epochs=2)
+        assert len(hist["val_crps"]) >= 1
+
+    def test_step_determinism(self):
+        """Same state + batch -> identical step result (rng from fold_in)."""
+        cfg = _tiny_cfg()
+        model = _tiny_model(cfg)
+        ds = _tiny_dataset(cfg)
+        step = make_train_step(model, cfg, donate=False)
+        x = jnp.zeros((8, 32, 32, 2))
+        y = jnp.zeros((8, 32, 32, 2))
+        state = create_train_state(model, x, y, seed=0, lr=1e-3)
+        stats = jax.tree.map(jnp.asarray, ds.stats)
+        hr = jnp.asarray(ds.get_hr_batch(np.arange(8)))
+        b = jnp.asarray(1.0)
+        z = jnp.asarray(0.0)
+        _, m1 = step(state, hr, stats, b, z)
+        _, m2 = step(state, hr, stats, b, z)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_deterministic_baseline_step(self):
+        cfg = _tiny_cfg()
+        model = LinearCNN(in_channels=2)
+        ds = _tiny_dataset(cfg)
+        x = jnp.zeros((8, 32, 32, 2))
+        key = jax.random.key(0)
+        variables = model.init({"params": key}, x)
+        from probunet_tpu.train.state import TrainState, make_optimizer
+
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            tx=make_optimizer(1e-3), rng=key,
+        )
+        step = make_deterministic_train_step(model, cfg, donate=False)
+        stats = jax.tree.map(jnp.asarray, ds.stats)
+        hr = jnp.asarray(ds.get_hr_batch(np.arange(8)))
+        losses = []
+        for _ in range(10):
+            state, metrics = step(state, hr, stats)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert metrics["loss_per_var"].shape == (2,)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = _tiny_cfg()
+        model = _tiny_model(cfg)
+        x = jnp.zeros((4, 32, 32, 2))
+        y = jnp.zeros((4, 32, 32, 2))
+        state = create_train_state(model, x, y, seed=0)
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state, extra={"epoch": 3})
+        mgr.wait()
+        restored, extra = mgr.restore(state)
+        assert extra["epoch"] == 3
+        chex_equal = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            state.params, restored.params,
+        )
+        assert all(jax.tree.leaves(chex_equal))
+        # best slot
+        mgr.save_best(state.params)
+        best = mgr.restore_best(state.params)
+        assert best is not None
+        mgr.close()
