@@ -1,0 +1,391 @@
+"""Command-line entry points.
+
+One consistent CLI replacing the reference's five scripts (src/main.py,
+src/deterministic_unet_main.py, src/baseline/main.py,
+src/latent_exploration*.py — SURVEY.md §1 L5, including their API drift:
+the reference's deterministic driver passes kwargs its own dataset no
+longer accepts, src/deterministic_unet_main.py:42-44):
+
+    python -m probunet_tpu train        --preset probunet_multivar_128
+    python -m probunet_tpu train-det    --preset deterministic_64
+    python -m probunet_tpu explore      --ckpt ... [--posterior|--single]
+    python -m probunet_tpu evaluate     --ckpt ... --members 16
+    python -m probunet_tpu bench
+
+Config = named preset + dotted overrides (--set train.lr=3e-4), the typed
+replacement for the reference's argparse-with-Python-object-defaults
+(reference src/train_prob_unet_model.py:26-28,53).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+
+from probunet_tpu.config import PRESETS, Config, preset
+
+
+def _parse_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        key, _, val = p.partition("=")
+        try:
+            out[key] = json.loads(val)
+        except json.JSONDecodeError:
+            out[key] = val
+    return out
+
+
+def build_config(args) -> Config:
+    cfg = preset(args.preset) if args.preset else Config()
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = Config.from_dict(json.load(f))
+    return cfg.override(_parse_overrides(args.set))
+
+
+def make_datasets(cfg: Config):
+    from probunet_tpu.data.climex import ClimexDataset
+
+    def mk(years):
+        return ClimexDataset(
+            datadir=cfg.data.datadir or None,
+            years=range(*years),
+            variables=cfg.data.variables,
+            coords=cfg.data.coords,
+            pipeline=cfg.data.pipeline,
+            lowres_scale=cfg.data.lowres_scale,
+            transfo=cfg.data.transfo,
+            megafile=cfg.data.megafile,
+            interp_mode=cfg.data.interp_mode,
+            epsilon=cfg.data.epsilon,
+            synthetic=cfg.data.synthetic,
+            synthetic_seed=cfg.data.synthetic_seed,
+        )
+
+    return mk(cfg.data.years_train), mk(cfg.data.years_val), mk(cfg.data.years_test)
+
+
+def make_model(cfg: Config):
+    from probunet_tpu.models.prob_unet import ProbabilisticUNet
+
+    return ProbabilisticUNet(
+        input_channels=cfg.model.input_channels,
+        num_classes=cfg.model.num_classes,
+        latent_dim=cfg.model.latent_dim,
+        num_filters=cfg.model.num_filters,
+        model_channels=cfg.model.model_channels,
+        channel_mult=cfg.model.channel_mult,
+        img_resolution=cfg.data.resolution,
+        num_blocks=cfg.model.num_blocks,
+        dropout=cfg.model.dropout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subcommands
+# ---------------------------------------------------------------------------
+
+def cmd_train(args):
+    """Probabilistic U-Net ELBO training (reference src/main.py driver)."""
+    from probunet_tpu.train.checkpoint import CheckpointManager
+    from probunet_tpu.train.logging import MetricLogger
+    from probunet_tpu.train.loop import Trainer
+
+    cfg = build_config(args)
+    os.makedirs(args.outdir, exist_ok=True)
+    with open(os.path.join(args.outdir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    ds_train, ds_val, _ = make_datasets(cfg)
+    model = make_model(cfg)
+    logger = MetricLogger(logdir=args.outdir, use_wandb=args.wandb)
+    ckpt = CheckpointManager(os.path.join(os.path.abspath(args.outdir), "ckpt"))
+    trainer = Trainer(cfg, model, ds_train, ds_val, logger=logger,
+                      checkpoint_manager=ckpt)
+    history = trainer.fit()
+    with open(os.path.join(args.outdir, "losses.pkl"), "wb") as f:
+        pickle.dump(history, f)  # the losses.pkl artifact (src/main.py:216)
+    try:
+        from probunet_tpu.utils.plotting import plot_loss_curves
+        plot_loss_curves(history,
+                         save_path=os.path.join(args.outdir, "loss_curves.png"))
+    except Exception as e:  # plotting must never kill a finished run
+        print(f"plotting skipped: {e}")
+    print(json.dumps({"final": {k: (v[-1] if v else None)
+                                for k, v in history.items()}}))
+
+
+def cmd_train_det(args):
+    """Deterministic baselines: UNet / LinearCNN / BCSD
+    (reference src/baseline/main.py, src/trainmodel.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probunet_tpu.data.loader import Batches, prefetch_to_device
+    from probunet_tpu.train.loop import make_deterministic_train_step
+    from probunet_tpu.train.state import create_train_state
+
+    cfg = build_config(args)
+    os.makedirs(args.outdir, exist_ok=True)
+    ds_train, ds_val, ds_test = make_datasets(cfg)
+
+    if args.model == "bcsd":
+        from probunet_tpu.models.baselines import bcsd
+
+        train_lrinterp = ds_train.preprocess(jnp.asarray(ds_train.hr))["lrinterp"]
+        test_batch = ds_test.preprocess(jnp.asarray(ds_test.hr))
+        pred = bcsd(
+            train_hr=jnp.asarray(ds_train.hr),
+            train_lrinterp=train_lrinterp,
+            test_lrinterp=test_batch["lrinterp"],
+        )
+        mae = float(jnp.abs(pred - test_batch["hr"][: pred.shape[0]]).mean())
+        print(json.dumps({"model": "bcsd", "test_mae": mae}))
+        return
+
+    if args.model == "linearcnn":
+        from probunet_tpu.models.baselines import LinearCNN
+        model = LinearCNN(num_classes=cfg.model.num_classes)
+    else:
+        from probunet_tpu.models.unet import UNetAll
+        model = UNetAll(
+            unet_type=cfg.model.unet_type,
+            img_resolution=cfg.data.resolution,
+            in_channels=cfg.model.input_channels,
+            out_channels=cfg.model.num_classes,
+            model_channels=cfg.model.model_channels,
+            channel_mult=cfg.model.channel_mult,
+            num_blocks=cfg.model.num_blocks,
+            dropout=cfg.model.dropout,
+        )
+
+    res = cfg.data.resolution
+    x = jnp.zeros((cfg.train.batch_size, res[0], res[1],
+                   cfg.model.input_channels))
+    state = create_train_state(model, x, None, seed=cfg.train.seed,
+                               lr=cfg.train.lr,
+                               weight_decay=cfg.train.weight_decay,
+                               init_method="__call__")
+    step = make_deterministic_train_step(model, cfg)
+    stats = jax.tree.map(jnp.asarray, ds_train.stats)
+    for epoch in range(1, cfg.train.num_epochs + 1):
+        batches = Batches(len(ds_train), cfg.train.batch_size, shuffle=True,
+                          seed=cfg.train.seed + epoch)
+        losses = []
+        it = (ds_train.get_hr_batch(i) for i in batches)
+        for hr in prefetch_to_device(it):
+            state, metrics = step(state, hr, stats)
+            losses.append(metrics["loss"])
+        print(f"epoch {epoch}: mse={float(jnp.mean(jnp.stack(losses))):.5f}")
+    print(json.dumps({"model": args.model, "epochs": cfg.train.num_epochs}))
+
+
+def cmd_explore(args):
+    """Latent exploration (reference src/latent_exploration*.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probunet_tpu.analysis import (
+        LatentPCA, collapse_diagnostics, collect_latents, decode_latent_grid,
+        format_summary, pc_grid_deciles, pc_grid_sigma, single_prior_sweep,
+    )
+    from probunet_tpu.analysis.latent import grid_to_z, save_artifacts
+    from probunet_tpu.models.prob_unet import ProbabilisticUNet
+    from probunet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = build_config(args)
+    os.makedirs(args.outdir, exist_ok=True)
+    _, _, ds_test = make_datasets(cfg)
+    model = make_model(cfg)
+
+    res = cfg.data.resolution
+    x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+    )["params"]
+    if args.ckpt:
+        params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
+
+    if args.single:
+        sweep = single_prior_sweep(model, params, ds_test, n=6, span=6.0)
+        from probunet_tpu.utils.plotting import plot_latent_grid
+        plot_latent_grid(sweep["decoded"],
+                         title=f"prior sweep dims {sweep['dims']}",
+                         save_path=os.path.join(args.outdir, "prior_sweep.png"))
+        print(json.dumps({"dims": np.asarray(sweep["dims"]).tolist()}))
+        return
+
+    lat = collect_latents(model, params, ds_test, use_posterior=args.posterior,
+                          max_items=args.max_items)
+    pca = LatentPCA.fit(lat["mu"])
+    scores = pca.transform(lat["mu"])
+    diag = collapse_diagnostics(model, params, ds_test,
+                                max_items=args.max_items)
+    report = format_summary(diag)
+    print(report)
+    with open(os.path.join(args.outdir, "summary.txt"), "w") as f:
+        f.write(report + "\n")
+    save_artifacts(os.path.join(args.outdir, "pca_artifacts.pkl"),
+                   pca, lat, diag)
+
+    # decile + sigma grids decoded against context 0's frozen features
+    batch = ds_test.preprocess(jnp.asarray(ds_test.get_hr_batch(np.array([0]))))
+    feats, _, _ = model.apply({"params": params}, batch["inputs"],
+                              method=ProbabilisticUNet.encode)
+    n = 10 if args.posterior else 7
+    for name, grid in (("decile", pc_grid_deciles(scores, n)),
+                       ("sigma", pc_grid_sigma(scores, n))):
+        zs = grid_to_z(pca, grid, fill_scores=scores)
+        dec = decode_latent_grid(model, params, feats, zs)
+        h, w, k = dec.shape[1:]
+        from probunet_tpu.utils.plotting import plot_latent_grid
+        plot_latent_grid(dec.reshape(n, n, h, w, k),
+                         title=f"{name} grid (PC1 x PC2)",
+                         save_path=os.path.join(args.outdir, f"grid_{name}.png"))
+
+
+def cmd_evaluate(args):
+    """Ensemble test-set evaluation: CRPS / MAE / spread / PSD
+    (reference src/metrics.py + results.ipynb cell 12-14)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probunet_tpu.data.loader import Batches
+    from probunet_tpu.evals import (compute_mae, crps_over_groundtruth,
+                                    ensemble_spread, psd_over_dataset)
+    from probunet_tpu.models.prob_unet import ProbabilisticUNet
+    from probunet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = build_config(args)
+    _, _, ds_test = make_datasets(cfg)
+    model = make_model(cfg)
+    res = cfg.data.resolution
+    x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+    )["params"]
+    if args.ckpt:
+        params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
+
+    stats = jax.tree.map(jnp.asarray, ds_test.stats)
+    m = args.members
+
+    @jax.jit
+    def sample_hr(hr_batch, key):
+        batch = ds_test.preprocess(hr_batch)
+        out = model.apply({"params": params}, batch["inputs"], num_samples=m,
+                          method=ProbabilisticUNet.sample,
+                          rngs={"latent": key})  # (B, M, H, W, K)
+        from probunet_tpu.data.climex import residual_to_hr
+        hr_pred = residual_to_hr(out, batch["lrinterp"][:, None], stats,
+                                 ds_test.pipeline, cfg.data.epsilon)
+        gt = batch["hr"]
+        if cfg.data.transfo:
+            # metrics are reported in REAL units, inverting the softplus
+            # storage transforms (reference results.ipynb cell 2
+            # invert_transfo_3vars before metrics.py CRPS/MAE)
+            from probunet_tpu.data.transforms import invert_physical_transform
+            hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
+            gt = invert_physical_transform(gt, cfg.data.variables)
+        return hr_pred, gt
+
+    ens, gts = [], []
+    key = jax.random.key(0)
+    n_items = min(len(ds_test), args.max_items or len(ds_test))
+    for i, idx in enumerate(Batches(n_items, args.batch_size)):
+        e, g = sample_hr(jnp.asarray(ds_test.get_hr_batch(idx)),
+                         jax.random.fold_in(key, i))
+        ens.append(np.asarray(e))
+        gts.append(np.asarray(g))
+    ens = np.concatenate(ens)
+    gt = np.concatenate(gts)
+
+    crps = crps_over_groundtruth(ens, gt)
+    mae = compute_mae(ens, gt)
+    spread = ensemble_spread(ens)
+    out = {
+        "members": m,
+        "items": int(ens.shape[0]),
+        "crps_mean": np.asarray(crps["mean"]).tolist(),
+        "crps_std": np.asarray(crps["std"]).tolist(),
+        "mae_mean": np.asarray(mae["mean"]).tolist(),
+        "spread": np.asarray(spread).tolist(),
+    }
+    print(json.dumps(out))
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+        with open(os.path.join(args.outdir, "eval.json"), "w") as f:
+            json.dump(out, f, indent=2)
+        from probunet_tpu.utils.plotting import plot_psd
+        psd_gt = psd_over_dataset(gt)
+        psd_model = psd_over_dataset(ens.mean(axis=1))
+        plot_psd({"gt": psd_gt, "model": psd_model},
+                 variables=cfg.data.variables,
+                 save_path=os.path.join(args.outdir, "psd.png"))
+
+
+def cmd_bench(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    # PROBUNET_PLATFORM=cpu|tpu overrides the JAX backend via the config API
+    # (effective even where site configuration pre-registers a backend and
+    # the JAX_PLATFORMS env var alone is ignored)
+    plat = os.environ.get("PROBUNET_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    p = argparse.ArgumentParser(prog="probunet_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", choices=PRESETS, default=None)
+        sp.add_argument("--config", default=None, help="config JSON path")
+        sp.add_argument("--set", nargs="*", default=[],
+                        help="dotted overrides key=value")
+        sp.add_argument("--outdir", default="results")
+
+    sp = sub.add_parser("train", help="probabilistic U-Net ELBO training")
+    common(sp)
+    sp.add_argument("--wandb", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("train-det", help="deterministic baselines")
+    common(sp)
+    sp.add_argument("--model", default="unet",
+                    choices=("unet", "linearcnn", "bcsd"))
+    sp.set_defaults(fn=cmd_train_det)
+
+    sp = sub.add_parser("explore", help="latent exploration")
+    common(sp)
+    sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--posterior", action="store_true")
+    sp.add_argument("--single", action="store_true")
+    sp.add_argument("--max-items", type=int, default=512)
+    sp.set_defaults(fn=cmd_explore)
+
+    sp = sub.add_parser("evaluate", help="ensemble CRPS/MAE/PSD eval")
+    common(sp)
+    sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--members", type=int, default=16)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--max-items", type=int, default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("bench", help="headline benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

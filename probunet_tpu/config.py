@@ -169,9 +169,18 @@ class Config:
             parts = key.split(".")
             cur = d
             for p in parts[:-1]:
+                if not isinstance(cur, dict) or p not in cur:
+                    raise KeyError(
+                        f"Unknown config key: {key!r} (no section {p!r}; "
+                        f"sections: {', '.join(d)})"
+                    )
                 cur = cur[p]
-            if parts[-1] not in cur:
-                raise KeyError(f"Unknown config key: {key}")
+            if not isinstance(cur, dict) or parts[-1] not in cur:
+                raise KeyError(
+                    f"Unknown config key: {key!r} "
+                    f"(valid keys in {'.'.join(parts[:-1]) or 'root'}: "
+                    f"{', '.join(cur) if isinstance(cur, dict) else 'none'})"
+                )
             cur[parts[-1]] = val
         return Config.from_dict(d)
 

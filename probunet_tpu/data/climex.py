@@ -211,17 +211,19 @@ class ClimexDataset:
         self.timestamps = np.asarray(timestamps, dtype=np.float32)
         self.timestamps_float = np.asarray(timestamps_float, dtype=np.float64)
 
-        # Physical transforms into storage space (src/climex_utils.py:136-138)
+        # Physical transforms into storage space (src/climex_utils.py:136-138).
+        # jitted: one compiled program instead of per-op eager dispatches
+        # (pathological over remote-device links)
         if self.transfo:
-            hr = np.asarray(
-                transforms.apply_physical_transform(jnp.asarray(hr), self.variables)
+            transfo_fn = jax.jit(
+                lambda a: transforms.apply_physical_transform(a, self.variables)
             )
+            hr = np.asarray(transfo_fn(hr))
         self.hr = hr  # (T, H, W, C), storage space, float32, host memory
 
-        # Eager standardization stats (explicit artifact; see module docstring)
-        self.stats: Standardization = jax.tree.map(
-            np.asarray, compute_stats(jnp.asarray(hr), self.lowres_scale)
-        )
+        # Standardization stats: explicit artifact (see module docstring), jitted
+        stats_fn = jax.jit(lambda a: compute_stats(a, self.lowres_scale))
+        self.stats: Standardization = jax.tree.map(np.asarray, stats_fn(hr))
 
     # ------------------------------------------------------------------
     def _load_netcdf(self, datadir: str | None, megafile: str | None) -> np.ndarray:

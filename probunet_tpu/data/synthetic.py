@@ -72,6 +72,56 @@ def synthetic_climex_fields(
     return out
 
 
+def synthetic_climex_fields_device(
+    num_days: int,
+    height: int = 128,
+    width: int = 128,
+    variables=("pr", "tasmin", "tasmax"),
+    seed: int = 0,
+):
+    """Device-side jnp twin of :func:`synthetic_climex_fields`.
+
+    Generates the whole (T, H, W, C) stack ON the accelerator inside one
+    jitted program — no host->device transfer of the data itself (essential
+    for benchmarking on remote-attached TPUs where host link bandwidth is
+    orders of magnitude below HBM).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def smooth(key, corr_len):
+        white = jax.random.normal(key, (num_days, height, width))
+        fy = jnp.fft.fftfreq(height)[:, None]
+        fx = jnp.fft.fftfreq(width)[None, :]
+        filt = jnp.exp(
+            -0.5 * ((fy * corr_len) ** 2 + (fx * corr_len) ** 2)
+            * (2 * jnp.pi) ** 2
+        )
+        spec = jnp.fft.fft2(white, axes=(1, 2)) * filt[None]
+        out = jnp.fft.ifft2(spec, axes=(1, 2)).real
+        return out / (out.std() + 1e-12)
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 5)
+        day = jnp.arange(num_days)
+        season = jnp.sin(2 * jnp.pi * (day % 365) / 365.0)
+        z = smooth(ks[0], 6.0)
+        intensity = 1.2 + 0.8 * season[:, None, None]
+        pr = jnp.exp(1.1 * z + 0.3 * smooth(ks[1], 20.0)) * intensity
+        pr = jnp.where(z > -0.2, pr, 0.0) * 4.0
+        base = 8.0 * season[:, None, None] + 4.0 * smooth(ks[2], 24.0)
+        grad = jnp.linspace(-4.0, 4.0, height)[None, :, None]
+        tasmin = base + grad + 1.5 * smooth(ks[3], 10.0) + 2.0
+        diurnal = 6.0 + 2.0 * jnp.abs(smooth(ks[4], 16.0))
+        fields = {"pr": pr, "tasmin": tasmin, "tasmax": tasmin + diurnal}
+        return jnp.stack([fields[v] for v in variables], axis=-1).astype(
+            jnp.float32
+        )
+
+    return gen(jax.random.key(seed))
+
+
 def synthetic_timestamps(num_days: int, start_year: int = 1960):
     """(timestamps, timestamps_float) mimicking the reference's cyclic time
     features over a 365-day (noleap) calendar (reference

@@ -1,0 +1,47 @@
+"""Device-mesh parallelism for probunet_tpu.
+
+The reference is strictly single-device (reference src/prob_unet.py:10,
+src/train_prob_unet_model.py:62; no torch.distributed anywhere — SURVEY.md
+§2.5). This package is the TPU-native scaling story built on
+``jax.sharding`` + ``jit``/``shard_map`` over a named :class:`Mesh`:
+
+- :mod:`mesh` — mesh construction and sharding helpers ("data", "spatial");
+- :mod:`data_parallel` — batch-sharded jitted train/eval steps (DP over ICI;
+  XLA inserts the gradient all-reduce implied by replicated-param output
+  shardings);
+- :mod:`spatial` — spatial-domain parallelism: halo exchange via
+  ``shard_map`` + ``lax.ppermute`` and full-ClimEx-domain tiled ensemble
+  inference (the CP-equivalent for a convolutional model, SURVEY.md §5).
+"""
+
+from probunet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from probunet_tpu.parallel.data_parallel import (
+    make_parallel_eval_step,
+    make_parallel_train_step,
+)
+from probunet_tpu.parallel.spatial import (
+    extract_tiles,
+    halo_exchange,
+    halo_conv2d,
+    stitch_tiles,
+    tiled_ensemble,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "make_parallel_train_step",
+    "make_parallel_eval_step",
+    "halo_exchange",
+    "halo_conv2d",
+    "extract_tiles",
+    "stitch_tiles",
+    "tiled_ensemble",
+]

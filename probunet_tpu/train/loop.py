@@ -37,21 +37,18 @@ from probunet_tpu.train.schedule import beta_schedule
 from probunet_tpu.train.state import TrainState, create_train_state
 
 
-def make_train_step(
-    model: ProbabilisticUNet,
-    cfg: Config,
-    donate: bool = True,
+def make_elbo_loss_fn(
+    model: ProbabilisticUNet, cfg: Config, training: bool = True
 ) -> Callable:
-    """Build the jitted ELBO train step.
+    """Pure ELBO loss function of (params, rng, hr_batch, stats, b0, b1).
 
-    step(state, hr_batch, stats, beta_0, beta_1) -> (state, metrics)
-
-    hr_batch is the RAW high-resolution window (B, H, W, C) in storage space;
-    all derived quantities are computed on device (see data.climex).
+    Shared by the single-chip step (:func:`make_train_step`) and the
+    mesh-sharded step (``probunet_tpu.parallel.data_parallel``).
+    With ``training=False`` uses eval_ensemble_size and disables dropout.
     """
     loss_cfg = cfg.loss
     data_cfg = cfg.data
-    m_size = cfg.train.ensemble_size
+    m_size = cfg.train.ensemble_size if training else cfg.train.eval_ensemble_size
 
     def loss_fn(params, rng, hr_batch, stats, beta_0, beta_1):
         batch = preprocess_batch(
@@ -72,11 +69,28 @@ def make_train_step(
             alpha_w=loss_cfg.alpha_w,
             beta_w=loss_cfg.beta_w,
             lam_w=loss_cfg.lam_w,
-            training=True,
+            training=training,
             method=ProbabilisticUNet.elbo,
             rngs={"latent": latent_rng, "dropout": dropout_rng},
         )
         return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    model: ProbabilisticUNet,
+    cfg: Config,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted ELBO train step.
+
+    step(state, hr_batch, stats, beta_0, beta_1) -> (state, metrics)
+
+    hr_batch is the RAW high-resolution window (B, H, W, C) in storage space;
+    all derived quantities are computed on device (see data.climex).
+    """
+    loss_fn = make_elbo_loss_fn(model, cfg)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, hr_batch, stats: Standardization, beta_0, beta_1):

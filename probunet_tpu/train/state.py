@@ -52,11 +52,18 @@ def create_train_state(
     """Initialize parameters and optimizer for a ProbabilisticUNet-style model."""
     key = jax.random.key(seed)
     init_key, latent_key, state_key = jax.random.split(key, 3)
-    variables = model.init(
+
+    # jit the whole init: flax init runs op-by-op eagerly otherwise, which is
+    # hundreds of small dispatches (pathological over remote-device links)
+    @jax.jit
+    def init_fn(rngs, x, y):
+        kwargs = {} if init_method is None else {"method": init_method}
+        return model.init(rngs, x, y, **kwargs)
+
+    variables = init_fn(
         {"params": init_key, "latent": latent_key},
         example_inputs,
         example_targets,
-        **({} if init_method is None else {"method": init_method}),
     )
     return TrainState.create(
         apply_fn=model.apply,

@@ -1,0 +1,170 @@
+"""Tests for the evaluation suite (metrics / PSD / histograms / GEV)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probunet_tpu.evals import (
+    compute_annual_block_maxima,
+    compute_mae,
+    crps_over_groundtruth,
+    ensemble_spread,
+    gev_fit,
+    gev_parametric_bootstrap,
+    gev_return_level,
+    get_empirical_return_periods,
+    log_histogram,
+    psd,
+    psd_over_dataset,
+)
+from probunet_tpu.evals.gev import return_level_analysis
+
+
+# ---------------------------------------------------------------------------
+# metrics
+# ---------------------------------------------------------------------------
+
+def brute_force_crps(ens, truth):
+    """Empirical CRPS: mean|x-y| - 1/(2 M^2) sum_{j,k} |x_j - x_k|."""
+    m = ens.shape[0]
+    first = np.abs(ens - truth).mean(0)
+    second = np.abs(ens[:, None] - ens[None, :]).sum((0, 1)) / (2 * m * m)
+    return first - second
+
+
+def test_crps_over_groundtruth_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    t, m, h, w, c = 4, 7, 6, 5, 3
+    ens = rng.standard_normal((t, m, h, w, c)).astype(np.float32)
+    truth = rng.standard_normal((t, h, w, c)).astype(np.float32)
+
+    got = crps_over_groundtruth(ens, truth)
+    want_fields = np.stack(
+        [brute_force_crps(ens[i].transpose(0, 1, 2, 3), truth[i]) for i in range(t)]
+    )  # (t, h, w, c) — ensemble axis already first per timestep
+    want_per_t = want_fields.mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(got["per_timestep"]), want_per_t,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["mean"]), want_per_t.mean(0),
+                               rtol=1e-4, atol=1e-5)
+    assert got["mean"].shape == (c,)
+
+
+def test_crps_perfect_ensemble_is_zero():
+    truth = np.ones((2, 4, 4, 1), np.float32)
+    ens = np.ones((2, 5, 4, 4, 1), np.float32)
+    got = crps_over_groundtruth(ens, truth)
+    np.testing.assert_allclose(np.asarray(got["mean"]), 0.0, atol=1e-6)
+
+
+def test_compute_mae():
+    rng = np.random.default_rng(1)
+    ens = rng.standard_normal((3, 4, 8, 8, 2)).astype(np.float32)
+    truth = rng.standard_normal((3, 8, 8, 2)).astype(np.float32)
+    got = compute_mae(ens, truth)
+    want = np.abs(ens.mean(1) - truth).mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(got["per_timestep"]), want, rtol=1e-5)
+
+
+def test_ensemble_spread_positive():
+    rng = np.random.default_rng(2)
+    ens = rng.standard_normal((2, 6, 4, 4, 3)).astype(np.float32)
+    s = ensemble_spread(ens)
+    assert s.shape == (3,)
+    assert np.all(np.asarray(s) > 0)
+
+
+# ---------------------------------------------------------------------------
+# PSD
+# ---------------------------------------------------------------------------
+
+def test_psd_single_mode_concentrates_power():
+    h = w = 32
+    x = np.arange(w)
+    # pure mode at kx=4 -> radial bin 4
+    field = np.sin(2 * np.pi * 4 * x / w)[None, None, :, None]
+    field = np.broadcast_to(field, (1, h, w, 1)).astype(np.float32)
+    spec = np.asarray(psd(field))[0, :, 0]
+    assert spec.argmax() == 4
+    assert spec[4] > 100 * (spec.sum() - spec[4]) / len(spec)
+
+
+def test_psd_over_dataset_shape():
+    rng = np.random.default_rng(3)
+    fields = rng.standard_normal((5, 16, 16, 2)).astype(np.float32)
+    out = np.asarray(psd_over_dataset(fields))
+    assert out.ndim == 2 and out.shape[1] == 2
+    assert np.all(np.isfinite(out))
+
+
+# ---------------------------------------------------------------------------
+# histograms
+# ---------------------------------------------------------------------------
+
+def test_log_histogram_counts():
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(10000).astype(np.float32)
+    centers, counts, log_counts = log_histogram(v, bins=50)
+    assert counts.sum() == 10000
+    assert centers.shape == (50,)
+    valid = ~np.isnan(log_counts)
+    np.testing.assert_allclose(log_counts[valid], np.log10(counts[valid]))
+
+
+# ---------------------------------------------------------------------------
+# GEV
+# ---------------------------------------------------------------------------
+
+def test_block_maxima():
+    t = 365 * 3 + 100  # partial trailing year dropped
+    vals = np.arange(t, dtype=np.float64)
+    bm = compute_annual_block_maxima(vals)
+    assert bm.shape == (3,)
+    np.testing.assert_allclose(bm, [364, 729, 1094])
+
+
+def test_gev_fit_roundtrip():
+    from scipy.stats import genextreme
+    true_c, true_loc, true_scale = -0.1, 60.0, 15.0
+    rng = np.random.default_rng(5)
+    sample = genextreme.rvs(true_c, loc=true_loc, scale=true_scale,
+                            size=4000, random_state=rng)
+    fit = gev_fit(sample)
+    assert abs(fit.shape - true_c) < 0.05
+    assert abs(fit.loc - true_loc) < 1.0
+    assert abs(fit.scale - true_scale) < 1.0
+
+    levels = gev_return_level(fit, [10, 50, 100])
+    assert np.all(np.diff(levels) > 0)  # monotone in return period
+    # 10-year level: ppf(0.9)
+    want = genextreme.ppf(0.9, fit.shape, loc=fit.loc, scale=fit.scale)
+    np.testing.assert_allclose(levels[0], want)
+
+
+def test_gev_bootstrap_brackets_point_estimate():
+    from scipy.stats import genextreme
+    rng = np.random.default_rng(6)
+    sample = genextreme.rvs(-0.05, loc=50, scale=10, size=30, random_state=rng)
+    fit = gev_fit(sample)
+    boot = gev_parametric_bootstrap(fit, 30, [10, 100], n_boot=200, seed=0)
+    assert boot["n_valid"] > 150
+    levels = gev_return_level(fit, [10, 100])
+    assert np.all(boot["lower"] <= levels + 1e-9)
+    assert np.all(boot["upper"] >= levels - 1e-9)
+
+
+def test_empirical_return_periods():
+    bm = np.array([3.0, 1.0, 2.0, 5.0, 4.0])
+    periods, sorted_bm = get_empirical_return_periods(bm)
+    np.testing.assert_allclose(sorted_bm, [5, 4, 3, 2, 1])
+    np.testing.assert_allclose(periods, [6.0, 3.0, 2.0, 1.5, 1.2])
+
+
+def test_return_level_analysis_end_to_end():
+    rng = np.random.default_rng(7)
+    daily = rng.gamma(2.0, 5.0, size=365 * 30)
+    out = return_level_analysis(daily, n_boot=50, seed=1)
+    assert out["block_maxima"].shape == (30,)
+    assert np.all(np.isfinite(out["return_levels"]))
+    assert out["bootstrap"]["n_valid"] > 0

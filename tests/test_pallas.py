@@ -1,0 +1,116 @@
+"""Pallas kernels vs their XLA oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probunet_tpu.ops.pallas import fcomb_fused, groupnorm_silu
+from probunet_tpu.ops.pallas.fcomb import _reference as fcomb_reference
+
+
+def _fcomb_inputs(b=2, s=96, c=16, d=8, m=3, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    def arr(*shape, scale=0.5):
+        return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+    return dict(
+        feats=arr(b, s, c), z=arr(b, m, d),
+        wf=arr(c, c), wz=arr(d, c), b0=arr(c),
+        w1=arr(c, c), b1=arr(c), w2=arr(c, k), b2=arr(k),
+    )
+
+
+def test_fcomb_fused_matches_reference():
+    inp = _fcomb_inputs()
+    got = fcomb_fused(**inp)
+    want = fcomb_reference(**inp)
+    assert got.shape == want.shape == (2, 3, 96, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fcomb_fused_unaligned_spatial():
+    # S not a multiple of the tile: padding path
+    inp = _fcomb_inputs(s=70)
+    got = fcomb_fused(**inp)
+    want = fcomb_reference(**inp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fcomb_fused_matches_flax_module():
+    """The kernel agrees with Fcomb.ensemble given the module's params."""
+    from probunet_tpu.models.fcomb import Fcomb
+
+    b, h, w, c, d, m, k = 2, 8, 8, 16, 8, 4, 3
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    zs = jnp.asarray(rng.standard_normal((m, b, d)), jnp.float32)
+
+    mod = Fcomb(unet_output_channels=c, latent_dim=d, num_classes=k)
+    params = mod.init(jax.random.key(0), feats, zs[0])["params"]
+    want = mod.apply({"params": params}, feats, zs, method=Fcomb.ensemble)
+
+    w1 = params["layer0_weight"][0, 0]
+    got = fcomb_fused(
+        feats.reshape(b, h * w, c),
+        jnp.swapaxes(zs, 0, 1),                    # (B, M, D)
+        w1[:c], w1[c:], params["layer0_bias"],
+        params["layer1_weight"][0, 0], params["layer1_bias"],
+        params["layer2_weight"][0, 0], params["layer2_bias"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(b, m, h, w, k), np.asarray(want),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_fcomb_fused_grad_matches_reference():
+    inp = _fcomb_inputs(b=1, s=32, m=2)
+    args = tuple(inp.values())
+
+    def loss_fused(*a):
+        return (fcomb_fused(*a) ** 2).sum()
+
+    def loss_ref(*a):
+        return (fcomb_reference(*a) ** 2).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_groupnorm_silu_matches_flax():
+    from flax import linen as nn
+
+    b, h, w, c, groups = 2, 8, 8, 32, 8
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    params = {"scale": gamma, "bias": beta}
+    want = nn.silu(gn.apply({"params": params}, x))
+
+    got = groupnorm_silu(x, gamma, beta, num_groups=groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_groupnorm_silu_3d_input():
+    b, s, c, groups = 3, 40, 16, 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    gamma = jnp.ones(c); beta = jnp.zeros(c)
+    got = groupnorm_silu(x, gamma, beta, num_groups=groups)
+    assert got.shape == (b, s, c)
+    # per-(batch, group) statistics of the pre-activation are ~N(0,1):
+    # invert silu is hard; instead check against direct numpy GN
+    xg = np.asarray(x).reshape(b, s, groups, c // groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    norm = ((xg - mean) / np.sqrt(var + 1e-5)).reshape(b, s, c)
+    want = norm / (1 + np.exp(-norm))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,179 @@
+"""Multi-device tests on the virtual 8-CPU mesh (see conftest.py).
+
+Covers SURVEY.md §2.5 P1 (data parallel), P4 (spatial halo exchange /
+full-domain tiling), and the driver's dryrun_multichip path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from probunet_tpu.config import Config
+from probunet_tpu.data.climex import compute_stats
+from probunet_tpu.models.prob_unet import ProbabilisticUNet
+from probunet_tpu.parallel import (
+    extract_tiles,
+    halo_conv2d,
+    make_mesh,
+    make_parallel_eval_step,
+    make_parallel_train_step,
+    replicated,
+    stitch_tiles,
+    tiled_ensemble,
+)
+from probunet_tpu.train.loop import make_train_step
+from probunet_tpu.train.state import create_train_state
+
+
+def tiny_cfg(res=32, scale=4, batch=8, m=3):
+    cfg = Config()
+    cfg.data.resolution = (res, res)
+    cfg.data.lowres_scale = scale
+    cfg.model.latent_dim = 4
+    cfg.model.num_filters = (8, 16)
+    cfg.model.model_channels = 8
+    cfg.model.channel_mult = (1, 2)
+    cfg.model.num_blocks = 1
+    cfg.train.batch_size = batch
+    cfg.train.ensemble_size = m
+    cfg.train.eval_ensemble_size = m
+    return cfg
+
+
+def tiny_model(cfg):
+    res = cfg.data.resolution
+    return ProbabilisticUNet(
+        input_channels=3, num_classes=3,
+        latent_dim=cfg.model.latent_dim,
+        num_filters=cfg.model.num_filters,
+        model_channels=cfg.model.model_channels,
+        channel_mult=cfg.model.channel_mult,
+        img_resolution=res, num_blocks=cfg.model.num_blocks,
+        dropout=0.0,
+    )
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["spatial"] == 1
+    mesh = make_mesh(n_spatial=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["spatial"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(n_data=16, n_spatial=1)
+
+
+def test_halo_conv2d_matches_unsharded():
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 5)) * 0.1, jnp.float32)
+    want = lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = halo_conv2d(x, k, mesh, axis_name="spatial")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device():
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    res = cfg.data.resolution[0]
+    b = cfg.train.batch_size
+
+    rng = np.random.default_rng(1)
+    hr_stack = jnp.asarray(rng.standard_normal((16, res, res, 3)), jnp.float32)
+    stats = compute_stats(hr_stack, cfg.data.lowres_scale)
+    hr_batch = np.asarray(hr_stack[:b])
+
+    x = jnp.zeros((b, res, res, 3), jnp.float32)
+    state0 = create_train_state(model, x, x, seed=0)
+    b0, b1 = jnp.float32(1.0), jnp.float32(0.1)
+
+    # single-device reference step (donate off so we can reuse state0)
+    step1 = make_train_step(model, cfg, donate=False)
+    state_ref, m_ref = step1(state0, jnp.asarray(hr_batch), stats, b0, b1)
+
+    # 8-way data-parallel step
+    mesh = make_mesh()
+    state_dp = jax.device_put(state0, replicated(mesh))
+    stats_dp = jax.device_put(stats, replicated(mesh))
+    step8 = make_parallel_train_step(model, cfg, mesh, donate=False)
+    state_dp, m_dp = step8(state_dp, hr_batch, stats_dp,
+                           jax.device_put(b0, replicated(mesh)),
+                           jax.device_put(b1, replicated(mesh)))
+
+    assert np.isfinite(float(m_dp["loss"]))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+    # parameter updates agree between 1-device and 8-device execution
+    leaves_ref = jax.tree.leaves(state_ref.params)
+    leaves_dp = jax.tree.leaves(state_dp.params)
+    for a, c in zip(leaves_ref, leaves_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_dp_spatial_train_and_eval_step():
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    res = cfg.data.resolution[0]
+    b = cfg.train.batch_size
+
+    rng = np.random.default_rng(2)
+    hr_stack = jnp.asarray(rng.standard_normal((16, res, res, 3)), jnp.float32)
+    stats = compute_stats(hr_stack, cfg.data.lowres_scale)
+    hr_batch = np.asarray(hr_stack[:b])
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    x = jnp.zeros((b, res, res, 3), jnp.float32)
+    state = jax.device_put(create_train_state(model, x, x, seed=0),
+                           replicated(mesh))
+    stats_m = jax.device_put(stats, replicated(mesh))
+    step = make_parallel_train_step(model, cfg, mesh)
+    state, metrics = step(
+        state, hr_batch, stats_m,
+        jax.device_put(jnp.float32(1.0), replicated(mesh)),
+        jax.device_put(jnp.float32(0.1), replicated(mesh)),
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+    eval_step = make_parallel_eval_step(model, cfg, mesh)
+    em = eval_step(state.params, jax.device_put(jax.random.key(0),
+                                                replicated(mesh)),
+                   hr_batch, stats_m)
+    assert np.isfinite(float(em["recon"]))
+
+
+def test_extract_stitch_roundtrip():
+    rng = np.random.default_rng(3)
+    field = jnp.asarray(rng.standard_normal((2, 70, 50, 3)), jnp.float32)
+    tiles, positions = extract_tiles(field, tile=32, overlap=8)
+    assert tiles.shape[1:] == (32, 32, 3)
+    rec = stitch_tiles(tiles, positions, (70, 50))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(field),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_ensemble_linear_model():
+    # sample_fn doubling the tile must produce 2x the full field, any domain size
+    rng = np.random.default_rng(4)
+    field = np.asarray(rng.standard_normal((2, 80, 80, 2)), np.float32)
+    mesh = make_mesh()
+
+    def sample_fn(tiles, key):
+        return 2.0 * tiles[:, None]  # (B, M=1, h, w, C)
+
+    out = tiled_ensemble(sample_fn, field, jax.random.key(0),
+                         tile=32, overlap=8, mesh=mesh)
+    assert out.shape == (2, 1, 80, 80, 2)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), 2.0 * field,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
