@@ -33,6 +33,8 @@ def main() -> None:
     from probunet_tpu.train.loop import make_train_step
     from probunet_tpu.train.state import create_train_state
 
+    import os
+
     cfg = preset("probunet_multivar_128")
     on_cpu = jax.default_backend() == "cpu"
     if on_cpu:  # keep CI smoke runs tractable; real numbers come from TPU
@@ -40,6 +42,12 @@ def main() -> None:
         cfg.data.lowres_scale = 8
         cfg.train.batch_size = 8
         cfg.train.ensemble_size = 4
+    # A/B knobs. Shipped default is bf16 compute + XLA fcomb: measured on one
+    # v5e chip f32=4658, f32+pallas-fcomb=6079, bf16=6866, bf16+pallas=2410
+    # samples/s (the pallas wrapper currently round-trips through f32, which
+    # negates bf16's bandwidth win — bf16-native kernel is future work).
+    cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    cfg.model.use_pallas_fcomb = os.environ.get("BENCH_PALLAS", "0") == "1"
 
     b = cfg.train.batch_size
     res = cfg.data.resolution
@@ -63,6 +71,8 @@ def main() -> None:
         img_resolution=res,
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
+        dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
+        use_pallas_fcomb=cfg.model.use_pallas_fcomb,
     )
     x = jnp.zeros((b, res[0], res[1], cfg.model.input_channels), jnp.float32)
     y = jnp.zeros((b, res[0], res[1], cfg.model.num_classes), jnp.float32)
@@ -71,6 +81,45 @@ def main() -> None:
 
     b0 = jnp.float32(1.0)
     b1 = jnp.float32(1e-3)
+
+    if os.environ.get("BENCH_MODE") == "ensemble":
+        # 16-member prior-ensemble generation throughput (the second
+        # BASELINE.json metric). Reference anchor: M=20 draws re-running the
+        # full U-Net per draw, 3.83 it/s @ bs=32 on 64x64 ≈ 2,450
+        # member-fields/s (BASELINE.md). Here: features once + vmapped
+        # fcomb decode over members (SURVEY.md §3.3 design note).
+        m_members = 16
+        from probunet_tpu.data.climex import preprocess_batch, residual_to_hr
+
+        @jax.jit
+        def gen(params, hr_batch, key):
+            batch = preprocess_batch(hr_batch, stats, cfg.data.pipeline,
+                                     cfg.data.lowres_scale,
+                                     cfg.data.interp_mode, cfg.data.epsilon)
+            out = model.apply({"params": params}, batch["inputs"],
+                              num_samples=m_members,
+                              method=ProbabilisticUNet.sample,
+                              rngs={"latent": key})
+            return residual_to_hr(out, batch["lrinterp"][:, None], stats,
+                                  cfg.data.pipeline, cfg.data.epsilon)
+
+        key = jax.random.key(0)
+        out = gen(state.params, batches[0], key)
+        jax.block_until_ready(out)
+        n_steps = 5 if on_cpu else 30
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            out = gen(state.params, batches[i % nb], jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        member_fields_per_sec = n_steps * b * m_members / dt
+        print(json.dumps({
+            "metric": "ensemble16_member_fields_per_sec_128x128",
+            "value": round(member_fields_per_sec, 2),
+            "unit": "member-fields/s",
+            "vs_baseline": round(member_fields_per_sec / 2450.0, 3),
+        }))
+        return
 
     # warmup / compile
     for i in range(2):

@@ -65,14 +65,18 @@ def make_datasets(cfg: Config):
             epsilon=cfg.data.epsilon,
             synthetic=cfg.data.synthetic,
             synthetic_seed=cfg.data.synthetic_seed,
+            standardization=cfg.data.standardization,
         )
 
     return mk(cfg.data.years_train), mk(cfg.data.years_val), mk(cfg.data.years_test)
 
 
 def make_model(cfg: Config):
+    import jax.numpy as jnp
+
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
 
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
     return ProbabilisticUNet(
         input_channels=cfg.model.input_channels,
         num_classes=cfg.model.num_classes,
@@ -83,6 +87,8 @@ def make_model(cfg: Config):
         img_resolution=cfg.data.resolution,
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
+        dtype=dtype,
+        use_pallas_fcomb=cfg.model.use_pallas_fcomb,
     )
 
 

@@ -43,6 +43,9 @@ class DataConfig:
     # apply softplus-inverse transforms: pr > 0, tasmax > tasmin
     # (reference src/climex_utils.py:136-138)
     transfo: bool = True
+    # perpixel | none | pertimestep | minmax
+    # (reference src/baseline/climex_utils.py:140-153)
+    standardization: str = "perpixel"
     megafile: str | None = None
     epsilon: float = 1e-10  # standardization epsilon (src/climex_utils.py:86)
     # synthetic-data mode for CI/bench when no NetCDF files are available
@@ -73,6 +76,8 @@ class ModelConfig:
     unet_type: str = "symmetric"
     # compute dtype for convs/matmuls ("float32" | "bfloat16"); params stay f32
     compute_dtype: str = "float32"
+    # route the Fcomb ensemble decode through the fused Pallas kernel
+    use_pallas_fcomb: bool = False
 
 
 @dataclass

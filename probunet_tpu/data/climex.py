@@ -41,22 +41,31 @@ PIPELINE_TYPES = (
 )
 
 
+STANDARDIZATION_MODES = ("perpixel", "none", "pertimestep", "minmax")
+
+
 class Standardization(NamedTuple):
     """Per-pixel standardization statistics (a pytree — passes through jit).
 
     lr_mean/lr_std: (h, w, C) stats of the avg-pooled LR fields over time;
     hr_mean/hr_std: the same stats lifted to the HR grid by repeat_interleave
-    (reference src/climex_utils.py:255-264).
+    (reference src/climex_utils.py:255-264). min/max support the baseline
+    stack's "minmax" mode (reference src/baseline/climex_utils.py:168-195).
     """
 
     lr_mean: jax.Array
     lr_std: jax.Array
     hr_mean: jax.Array
     hr_std: jax.Array
+    lr_min: jax.Array | None = None
+    lr_max: jax.Array | None = None
+    hr_min: jax.Array | None = None
+    hr_max: jax.Array | None = None
 
 
 def compute_stats(hr: jax.Array, lowres_scale: int) -> Standardization:
-    """Time-mean/std of the pooled LR stack, lifted to HR by pixel repetition.
+    """Time-mean/std (and min/max) of the pooled LR stack, lifted to HR by
+    pixel repetition.
 
     Matches reference ``compute_stats`` (src/climex_utils.py:255-264):
     ``lr.std(dim=0)`` in torch is the UNBIASED (ddof=1) std.
@@ -64,12 +73,45 @@ def compute_stats(hr: jax.Array, lowres_scale: int) -> Standardization:
     lr = avg_pool(hr, lowres_scale)  # (T, h, w, C)
     lr_mean = lr.mean(axis=0)
     lr_std = lr.std(axis=0, ddof=1)
+    lr_min = lr.min(axis=0)
+    lr_max = lr.max(axis=0)
+    lift = lambda a: repeat_interleave_2d(a, lowres_scale)  # noqa: E731
     return Standardization(
         lr_mean=lr_mean,
         lr_std=lr_std,
-        hr_mean=repeat_interleave_2d(lr_mean, lowres_scale),
-        hr_std=repeat_interleave_2d(lr_std, lowres_scale),
+        hr_mean=lift(lr_mean),
+        hr_std=lift(lr_std),
+        lr_min=lr_min,
+        lr_max=lr_max,
+        hr_min=lift(lr_min),
+        hr_max=lift(lr_max),
     )
+
+
+def standardize(
+    x: jax.Array,
+    mean: jax.Array | None,
+    std: jax.Array | None,
+    mn: jax.Array | None,
+    mx: jax.Array | None,
+    mode: str,
+    epsilon: float,
+) -> jax.Array:
+    """Apply one of the four standardization modes
+    (reference src/baseline/climex_utils.py:140-153):
+    perpixel (time stats per pixel), none, pertimestep (each sample's own
+    spatial mean/std), minmax (per-pixel range scaling)."""
+    if mode == "none":
+        return x
+    if mode == "perpixel":
+        return (x - mean) / (std + epsilon)
+    if mode == "pertimestep":
+        m = x.mean(axis=(1, 2), keepdims=True)
+        s = x.std(axis=(1, 2), keepdims=True)
+        return (x - m) / (s + epsilon)
+    if mode == "minmax":
+        return (x - mn) / (mx - mn + epsilon)
+    raise ValueError(f"unknown standardization {mode!r}")
 
 
 def preprocess_batch(
@@ -79,55 +121,71 @@ def preprocess_batch(
     lowres_scale: int,
     interp_mode: str = "nearest",
     epsilon: float = 1e-10,
+    standardization: str = "perpixel",
 ) -> dict[str, jax.Array]:
     """Raw HR batch (B, H, W, C) -> model inputs/targets + diagnostics.
 
-    Pure function of static (pipeline, lowres_scale, interp_mode); safe to
-    close over inside a jitted train step. Reproduces the four per-item
-    branches of the reference ``__getitem__`` (src/climex_utils.py:152-251).
+    Pure function of static (pipeline, lowres_scale, interp_mode,
+    standardization); safe to close over inside a jitted train step.
+    Reproduces the four per-item branches of the reference ``__getitem__``
+    (src/climex_utils.py:152-251); ``standardization`` adds the baseline
+    stack's selectable modes (src/baseline/climex_utils.py:140-153), with
+    "perpixel" (LR time stats lifted to HR) being the current stack's
+    behavior. With "pertimestep" the per-item (mean, std) of the HR field is
+    returned as ``stand_stats`` — the analog of the reference's per-item
+    stats needed to invert residuals (src/baseline/climex_utils.py:168-195).
     """
     if pipeline not in PIPELINE_TYPES:
         raise ValueError(f"unknown pipeline {pipeline!r}")
     k = lowres_scale
     lr = avg_pool(hr, k)
 
-    lr_stand = (lr - stats.lr_mean) / (stats.lr_std + epsilon)
-    hr_stand = (hr - stats.hr_mean) / (stats.hr_std + epsilon)
+    st = lambda x, mean, std, mn, mx: standardize(  # noqa: E731
+        x, mean, std, mn, mx, standardization, epsilon
+    )
+    lr_stand = st(lr, stats.lr_mean, stats.lr_std, stats.lr_min, stats.lr_max)
+
+    out = {"hr": hr, "lr": lr}
+    item_stats = None
+    if standardization == "pertimestep":
+        # ONE set of per-item stats (the HR field's) standardizes both the
+        # HR target and the lrinterp baseline, so residuals invert exactly;
+        # these are the per-item ``stand_stats`` the reference hands back
+        # for inversion (src/baseline/climex_utils.py:168-195)
+        item_stats = {
+            "mean": hr.mean(axis=(1, 2), keepdims=True),
+            "std": hr.std(axis=(1, 2), keepdims=True),
+        }
+        out["stand_stats"] = item_stats
+        hr_stand = (hr - item_stats["mean"]) / (item_stats["std"] + epsilon)
+    else:
+        hr_stand = st(hr, stats.hr_mean, stats.hr_std, stats.hr_min,
+                      stats.hr_max)
 
     if pipeline == "lr_to_hr":
-        return {"inputs": lr_stand, "targets": hr_stand, "hr": hr, "lr": lr}
+        return {"inputs": lr_stand, "targets": hr_stand, **out}
 
     lrinterp = upsample(lr, k, interp_mode)
+    out["lrinterp"] = lrinterp
     if pipeline == "lr_to_residuals":
         lr_stand_up = upsample(lr_stand, k, interp_mode)
         residual = hr_stand - lr_stand_up
-        return {
-            "inputs": lr_stand,
-            "targets": residual,
-            "hr": hr,
-            "lr": lr,
-            "lrinterp": lrinterp,
-        }
+        return {"inputs": lr_stand, "targets": residual, **out}
 
-    lrinterp_stand = (lrinterp - stats.hr_mean) / (stats.hr_std + epsilon)
+    if standardization == "pertimestep":
+        lrinterp_stand = (lrinterp - item_stats["mean"]) / (
+            item_stats["std"] + epsilon
+        )
+    else:
+        lrinterp_stand = st(
+            lrinterp, stats.hr_mean, stats.hr_std, stats.hr_min, stats.hr_max
+        )
     if pipeline == "lrinterp_to_residuals":
         residual = hr_stand - lrinterp_stand
-        return {
-            "inputs": lrinterp_stand,
-            "targets": residual,
-            "hr": hr,
-            "lr": lr,
-            "lrinterp": lrinterp,
-        }
+        return {"inputs": lrinterp_stand, "targets": residual, **out}
 
     # lrinterp_to_hr
-    return {
-        "inputs": lrinterp_stand,
-        "targets": hr_stand,
-        "hr": hr,
-        "lr": lr,
-        "lrinterp": lrinterp,
-    }
+    return {"inputs": lrinterp_stand, "targets": hr_stand, **out}
 
 
 def invstand_residual(
@@ -135,12 +193,29 @@ def invstand_residual(
     stats: Standardization,
     pipeline: str,
     epsilon: float = 1e-10,
+    standardization: str = "perpixel",
+    item_stats: dict | None = None,
 ) -> jax.Array:
     """Invert standardization of a model output
-    (reference src/climex_utils.py:277-281)."""
-    if pipeline in ("lr_to_hr", "lrinterp_to_hr"):
-        return residual * (stats.hr_std + epsilon) + stats.hr_mean
-    return residual * (stats.hr_std + epsilon)
+    (reference src/climex_utils.py:277-281; mode variants
+    src/baseline/climex_utils.py:208-212). ``item_stats`` is the
+    ``stand_stats`` dict from :func:`preprocess_batch` — required for the
+    "pertimestep" mode."""
+    to_hr = pipeline in ("lr_to_hr", "lrinterp_to_hr")
+    if standardization == "none":
+        return residual
+    if standardization == "perpixel":
+        scaled = residual * (stats.hr_std + epsilon)
+        return scaled + stats.hr_mean if to_hr else scaled
+    if standardization == "minmax":
+        scaled = residual * (stats.hr_max - stats.hr_min + epsilon)
+        return scaled + stats.hr_min if to_hr else scaled
+    if standardization == "pertimestep":
+        if item_stats is None:
+            raise ValueError("pertimestep inversion needs item_stats")
+        scaled = residual * (item_stats["std"] + epsilon)
+        return scaled + item_stats["mean"] if to_hr else scaled
+    raise ValueError(f"unknown standardization {standardization!r}")
 
 
 def residual_to_hr(
@@ -149,9 +224,13 @@ def residual_to_hr(
     stats: Standardization,
     pipeline: str = "lrinterp_to_residuals",
     epsilon: float = 1e-10,
+    standardization: str = "perpixel",
+    item_stats: dict | None = None,
 ) -> jax.Array:
     """lrinterp + unstandardized residual (reference src/climex_utils.py:284-285)."""
-    return lrinterp + invstand_residual(residual, stats, pipeline, epsilon)
+    return lrinterp + invstand_residual(
+        residual, stats, pipeline, epsilon, standardization, item_stats
+    )
 
 
 class ClimexDataset:
@@ -181,6 +260,7 @@ class ClimexDataset:
         timestamps_float: np.ndarray | None = None,
         synthetic: bool = False,
         synthetic_seed: int = 0,
+        standardization: str = "perpixel",
     ):
         self.variables = tuple(variables)
         self.nvars = len(self.variables)
@@ -190,6 +270,9 @@ class ClimexDataset:
         self.transfo = bool(transfo)
         self.interp_mode = interp_mode
         self.epsilon = float(epsilon)
+        if standardization not in STANDARDIZATION_MODES:
+            raise ValueError(f"unknown standardization {standardization!r}")
+        self.standardization = standardization
         self.years = list(years)
 
         if hr is not None:
@@ -295,6 +378,7 @@ class ClimexDataset:
             self.lowres_scale,
             self.interp_mode,
             self.epsilon,
+            self.standardization,
         )
 
     def batch(self, idx: np.ndarray) -> dict[str, jax.Array]:
@@ -307,16 +391,19 @@ class ClimexDataset:
         out["timestamps_float"] = self.timestamps_float[idx]
         return out
 
-    def invstand_residual(self, residual):
+    def invstand_residual(self, residual, item_stats=None):
         return invstand_residual(
-            residual, jax.tree.map(jnp.asarray, self.stats), self.pipeline, self.epsilon
+            residual, jax.tree.map(jnp.asarray, self.stats), self.pipeline,
+            self.epsilon, self.standardization, item_stats,
         )
 
-    def residual_to_hr(self, residual, lrinterp):
+    def residual_to_hr(self, residual, lrinterp, item_stats=None):
         return residual_to_hr(
             residual,
             lrinterp,
             jax.tree.map(jnp.asarray, self.stats),
             self.pipeline,
             self.epsilon,
+            self.standardization,
+            item_stats,
         )

@@ -11,6 +11,7 @@ from probunet_tpu.evals.metrics import (
     crps_over_groundtruth,
     ensemble_spread,
     mae_over_groundtruth,
+    residual_contribution,
 )
 from probunet_tpu.evals.psd import psd, psd_over_dataset
 from probunet_tpu.evals.histograms import log_histogram
@@ -21,12 +22,14 @@ from probunet_tpu.evals.gev import (
     gev_return_level,
     get_empirical_return_periods,
 )
+from probunet_tpu.evals.weights import weight_function_analysis
 
 __all__ = [
     "crps_over_groundtruth",
     "mae_over_groundtruth",
     "compute_mae",
     "ensemble_spread",
+    "residual_contribution",
     "psd",
     "psd_over_dataset",
     "log_histogram",
@@ -35,4 +38,5 @@ __all__ = [
     "gev_return_level",
     "gev_parametric_bootstrap",
     "get_empirical_return_periods",
+    "weight_function_analysis",
 ]

@@ -64,6 +64,27 @@ def compute_mae(ensemble, truth) -> dict[str, jax.Array]:
 mae_over_groundtruth = compute_mae
 
 
+def residual_contribution(pred_hr, lrinterp, hr) -> dict[str, float]:
+    """How much the learned residual improves over plain interpolation
+    (reference src/train_prob_unet_model.py:307-349, which reports e.g. a
+    29.11% MAE improvement for the 30-epoch afCRPS model — BASELINE.md).
+
+    pred_hr: (T, [M,] H, W, C) model HR prediction (ensemble mean is used);
+    lrinterp: (T, H, W, C) interpolation baseline; hr: ground truth.
+    """
+    p = jnp.asarray(pred_hr)
+    if p.ndim == 5:
+        p = p.mean(axis=1)
+    mae_model = jnp.abs(p - hr).mean()
+    mae_interp = jnp.abs(jnp.asarray(lrinterp) - hr).mean()
+    improvement = 1.0 - mae_model / mae_interp
+    return {
+        "mae_model": float(mae_model),
+        "mae_interp": float(mae_interp),
+        "improvement": float(improvement),
+    }
+
+
 def ensemble_spread(ensemble) -> jax.Array:
     """Per-variable mean ensemble standard deviation (spread) — the
     collapse-diagnostic scalar used throughout the reference's latent

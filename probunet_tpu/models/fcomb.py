@@ -41,6 +41,9 @@ class Fcomb(nn.Module):
     latent_dim: int
     num_classes: int
     dtype: Any = None
+    # route ensemble decode through the fused Pallas kernel
+    # (probunet_tpu.ops.pallas.fcomb); numerics match the XLA path
+    use_pallas: bool = False
 
     def setup(self):
         c, d, k = self.unet_output_channels, self.latent_dim, self.num_classes
@@ -81,6 +84,21 @@ class Fcomb(nn.Module):
         subsequent layers carry the M axis.
         """
         c = self.unet_output_channels
+        if self.use_pallas and not self.is_initializing():
+            from probunet_tpu.ops.pallas.fcomb import fcomb_fused
+
+            b, h, w, _ = feature_map.shape
+            m = zs.shape[0]
+            k = self.num_classes
+            w1 = self.layer0_weight[0, 0]
+            out = fcomb_fused(
+                feature_map.reshape(b, h * w, c),
+                jnp.swapaxes(zs, 0, 1),
+                w1[:c], w1[c:], self.layer0_bias,
+                self.layer1_weight[0, 0], self.layer1_bias,
+                self.layer2_weight[0, 0], self.layer2_bias,
+            )
+            return out.reshape(b, m, h, w, k).astype(feature_map.dtype)
         w1 = self.layer0_weight[0, 0]
         feat_part = self._mm(feature_map, w1[:c])                   # (B, H, W, C)
         z_part = self._mm(zs, w1[c:]) + self.layer0_bias            # (M, B, C)

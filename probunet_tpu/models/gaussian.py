@@ -63,7 +63,11 @@ class _Conv3x3(nn.Module):
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            # f32 accumulation only when computing in f32: with bf16 operands
+            # the MXU accumulates in f32 internally, and requesting an f32
+            # output breaks the conv transpose rule (f32 cotangent vs bf16
+            # primal dtype mismatch in the vjp)
+            preferred_element_type=dt if dt != jnp.float32 else jnp.float32,
         )
         return (y + b).astype(x.dtype)
 

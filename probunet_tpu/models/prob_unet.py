@@ -66,6 +66,7 @@ class ProbabilisticUNet(nn.Module):
     num_blocks: int = 2
     dropout: float = 0.10
     dtype: Any = None
+    use_pallas_fcomb: bool = False
 
     def setup(self):
         self.unet = UNet(
@@ -97,6 +98,7 @@ class ProbabilisticUNet(nn.Module):
             latent_dim=self.latent_dim,
             num_classes=self.num_classes,
             dtype=self.dtype,
+            use_pallas=self.use_pallas_fcomb,
         )
 
     # ------------------------------------------------------------------

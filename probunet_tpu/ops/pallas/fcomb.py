@@ -63,8 +63,9 @@ def _kernel(f_ref, z_ref, wf_ref, wz_ref, b0_ref, w1_ref, b1_ref,
             f_ref[0], wf_ref[:, :], preferred_element_type=jnp.float32
         )
 
+    z_row = z_ref[0, pl.ds(m, 1), :]  # (1, Dp) — member m of this batch elem
     z_bias = (
-        jnp.dot(z_ref[0], wz_ref[:, :], preferred_element_type=jnp.float32)
+        jnp.dot(z_row, wz_ref[:, :], preferred_element_type=jnp.float32)
         + b0_ref[:, :]
     )  # (1, Cp)
     h = jnp.maximum(featpart_ref[:, :] + z_bias, 0.0)
@@ -109,7 +110,7 @@ def _forward(feats, z, wf, wz, b0, w1, b1, w2, b2, tile_s: int = 512):
         in_specs=[
             pl.BlockSpec((1, tile_s, cp), lambda bi, si, mi: (bi, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dp), lambda bi, si, mi: (bi, mi, 0),
+            pl.BlockSpec((1, m, dp), lambda bi, si, mi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cp, cp), lambda bi, si, mi: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -31,6 +31,11 @@ from probunet_tpu.parallel.spatial import (
     stitch_tiles,
     tiled_ensemble,
 )
+from probunet_tpu.parallel.multihost import (
+    global_batch,
+    initialize,
+    process_local_indices,
+)
 
 __all__ = [
     "make_mesh",
@@ -44,4 +49,7 @@ __all__ = [
     "extract_tiles",
     "stitch_tiles",
     "tiled_ensemble",
+    "initialize",
+    "global_batch",
+    "process_local_indices",
 ]

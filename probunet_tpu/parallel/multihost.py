@@ -1,0 +1,58 @@
+"""Multi-host (DCN) runtime helpers.
+
+The reference is single-process/single-GPU (SURVEY.md §2.5 P5); the only
+"cluster" machinery it has is a local dask client for NetCDF ingest
+(reference src/climex_utils.py:75). This module is the TPU-pod story:
+
+- :func:`initialize` — ``jax.distributed.initialize`` wrapper (idempotent,
+  no-op single-process);
+- :func:`global_batch` — assemble a globally-sharded batch from each host's
+  local shard via ``jax.make_array_from_process_local_data`` so the DP input
+  pipeline reads only per-host files and never gathers over DCN;
+- :func:`process_local_indices` — which dataset rows this host should load
+  for a given global batch (contiguous per-host slabs).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_initialized = False
+
+
+def initialize(**kwargs) -> None:
+    """Start the multi-host runtime (no-op if single-process or already up)."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize(**kwargs)
+        _initialized = True
+    except (RuntimeError, ValueError):
+        # single-process run (no coordinator configured): fine, stay local
+        _initialized = True
+
+
+def process_local_indices(global_indices: np.ndarray) -> np.ndarray:
+    """The contiguous slab of a global batch this host is responsible for."""
+    n = jax.process_count()
+    i = jax.process_index()
+    per = len(global_indices) // n
+    return global_indices[i * per:(i + 1) * per]
+
+
+def global_batch(local_batch: np.ndarray, mesh: Mesh,
+                 spatial: bool = False) -> jax.Array:
+    """Assemble the global array from this host's local shard.
+
+    local_batch: (B_local, H, W, C) rows this host loaded
+    (``process_local_indices`` of the global batch). Returns a global
+    (B_global, H, W, C) jax.Array sharded batch-over-"data" (and rows over
+    "spatial" if requested) without any cross-host data movement.
+    """
+    spec = P("data", "spatial", None, None) if spatial else P("data")
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, local_batch)

@@ -53,7 +53,7 @@ def make_elbo_loss_fn(
     def loss_fn(params, rng, hr_batch, stats, beta_0, beta_1):
         batch = preprocess_batch(
             hr_batch, stats, data_cfg.pipeline, data_cfg.lowres_scale,
-            data_cfg.interp_mode, data_cfg.epsilon,
+            data_cfg.interp_mode, data_cfg.epsilon, data_cfg.standardization,
         )
         latent_rng, dropout_rng = jax.random.split(rng)
         total, metrics = model.apply(
@@ -127,7 +127,7 @@ def make_eval_step(model: ProbabilisticUNet, cfg: Config) -> Callable:
     def step(params, rng, hr_batch, stats: Standardization):
         batch = preprocess_batch(
             hr_batch, stats, data_cfg.pipeline, data_cfg.lowres_scale,
-            data_cfg.interp_mode, data_cfg.epsilon,
+            data_cfg.interp_mode, data_cfg.epsilon, data_cfg.standardization,
         )
         total, metrics = model.apply(
             {"params": params},
@@ -159,7 +159,7 @@ def make_deterministic_train_step(model, cfg: Config, donate: bool = True):
     def loss_fn(params, rng, hr_batch, stats):
         batch = preprocess_batch(
             hr_batch, stats, data_cfg.pipeline, data_cfg.lowres_scale,
-            data_cfg.interp_mode, data_cfg.epsilon,
+            data_cfg.interp_mode, data_cfg.epsilon, data_cfg.standardization,
         )
         pred = model.apply(
             {"params": params}, batch["inputs"], train=True,
