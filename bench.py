@@ -43,9 +43,11 @@ def main() -> None:
         cfg.train.batch_size = 8
         cfg.train.ensemble_size = 4
     # A/B knobs. Shipped default is bf16 compute + XLA fcomb: measured on one
-    # v5e chip f32=4658, f32+pallas-fcomb=6079, bf16=6866, bf16+pallas=2410
-    # samples/s (the pallas wrapper currently round-trips through f32, which
-    # negates bf16's bandwidth win — bf16-native kernel is future work).
+    # v5e chip f32=4658, f32+pallas-fcomb=5595, bf16=6866 (default),
+    # bf16+pallas=5232 samples/s. The fused kernel beats XLA only in f32;
+    # in bf16 XLA's own fusion wins because C=32 fills only a quarter of the
+    # 128-lane MXU in the hand-written kernel and the custom-vjp backward
+    # still runs the XLA formulation.
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg.model.use_pallas_fcomb = os.environ.get("BENCH_PALLAS", "0") == "1"
 

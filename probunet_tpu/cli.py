@@ -89,6 +89,7 @@ def make_model(cfg: Config):
         dropout=cfg.model.dropout,
         dtype=dtype,
         use_pallas_fcomb=cfg.model.use_pallas_fcomb,
+        remat=cfg.train.remat,
     )
 
 
@@ -113,6 +114,15 @@ def cmd_train(args):
     ckpt = CheckpointManager(os.path.join(os.path.abspath(args.outdir), "ckpt"))
     trainer = Trainer(cfg, model, ds_train, ds_val, logger=logger,
                       checkpoint_manager=ckpt)
+    if getattr(args, "resume", False):
+        # full train-state resume (params+opt+step+rng) — a capability the
+        # reference lacks entirely (end-of-run torch.save only, SURVEY.md §5)
+        latest = ckpt.latest_step()
+        if latest is not None:
+            trainer.state, _ = ckpt.restore(trainer.state, latest)
+            print(f"resumed from step {latest}")
+        else:
+            print("no checkpoint found; training from scratch")
     history = trainer.fit()
     with open(os.path.join(args.outdir, "losses.pkl"), "wb") as f:
         pickle.dump(history, f)  # the losses.pkl artifact (src/main.py:216)
@@ -362,6 +372,8 @@ def main(argv=None):
     sp = sub.add_parser("train", help="probabilistic U-Net ELBO training")
     common(sp)
     sp.add_argument("--wandb", action="store_true")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume full train state from the latest checkpoint")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-det", help="deterministic baselines")

@@ -90,10 +90,11 @@ class Fcomb(nn.Module):
             b, h, w, _ = feature_map.shape
             m = zs.shape[0]
             k = self.num_classes
+            dt = self.dtype or feature_map.dtype  # kernel compute dtype
             w1 = self.layer0_weight[0, 0]
             out = fcomb_fused(
-                feature_map.reshape(b, h * w, c),
-                jnp.swapaxes(zs, 0, 1),
+                feature_map.reshape(b, h * w, c).astype(dt),
+                jnp.swapaxes(zs, 0, 1).astype(dt),
                 w1[:c], w1[c:], self.layer0_bias,
                 self.layer1_weight[0, 0], self.layer1_bias,
                 self.layer2_weight[0, 0], self.layer2_bias,

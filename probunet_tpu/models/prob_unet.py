@@ -67,6 +67,7 @@ class ProbabilisticUNet(nn.Module):
     dropout: float = 0.10
     dtype: Any = None
     use_pallas_fcomb: bool = False
+    remat: bool = False
 
     def setup(self):
         self.unet = UNet(
@@ -80,6 +81,7 @@ class ProbabilisticUNet(nn.Module):
             dropout=self.dropout,
             use_diffuse=False,
             dtype=self.dtype,
+            remat=self.remat,
         )
         self.prior = AxisAlignedConvGaussian(
             num_filters=tuple(self.num_filters),

@@ -69,6 +69,9 @@ class UNet(nn.Module):
     label_dropout: float = 0.0
     use_diffuse: bool = False
     dtype: Any = None
+    # gradient rematerialization of every residual block: trades ~1 extra
+    # forward pass for O(depth) less activation memory (large M / batch)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -84,6 +87,11 @@ class UNet(nn.Module):
         emb_channels = mc * self.channel_mult_emb
         block_kwargs = dict(
             dropout=self.dropout, init=INIT_EDM, init_zero=INIT_ZERO, dtype=self.dtype
+        )
+        # nn.remat checkpoints each block; `train` must stay static (the
+        # transformed call sees (module, x, emb, train) -> index 3)
+        Block = (
+            nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         )
         b = x.shape[0]
 
@@ -139,14 +147,14 @@ class UNet(nn.Module):
                     name=f"enc_{resx}x{resy}_conv",
                 )(x)
             else:
-                x = UNetBlock(
+                x = Block(
                     out_channels=cout, down=True, name=f"enc_{resx}x{resy}_down",
                     **block_kwargs,
                 )(x, emb, train)
             skips.append(x)
             for idx in range(self.num_blocks):
                 cout = mc * mult
-                x = UNetBlock(
+                x = Block(
                     out_channels=cout, attention=False,
                     name=f"enc_{resx}x{resy}_block{idx}", **block_kwargs,
                 )(x, emb, train)
@@ -158,15 +166,15 @@ class UNet(nn.Module):
             resx = self.img_resolution[0] >> level
             resy = self.img_resolution[1] >> level
             if level == len(self.channel_mult) - 1:
-                x = UNetBlock(
+                x = Block(
                     out_channels=cout, attention=False,
                     name=f"dec_{resx}x{resy}_in0", **block_kwargs,
                 )(x, emb, train)
-                x = UNetBlock(
+                x = Block(
                     out_channels=cout, name=f"dec_{resx}x{resy}_in1", **block_kwargs
                 )(x, emb, train)
             else:
-                x = UNetBlock(
+                x = Block(
                     out_channels=cout, up=True, name=f"dec_{resx}x{resy}_up",
                     **block_kwargs,
                 )(x, emb, train)
@@ -174,7 +182,7 @@ class UNet(nn.Module):
                 # static resolution of the reference's runtime concat check
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
                 cout = mc * mult
-                x = UNetBlock(
+                x = Block(
                     out_channels=cout, attention=False,
                     name=f"dec_{resx}x{resy}_block{idx}", **block_kwargs,
                 )(x, emb, train)

@@ -54,8 +54,14 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(f_ref, z_ref, wf_ref, wz_ref, b0_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, out_ref, featpart_ref):
     """Grid (B, S_tiles, M) — members innermost so the feature-side layer-0
-    matmul in ``featpart_ref`` scratch is computed once per (b, s) tile."""
+    matmul in ``featpart_ref`` scratch is computed once per (b, s) tile.
+
+    Matmul operands keep the input dtype (bf16 rides the MXU natively);
+    accumulation is always f32 (``preferred_element_type`` + f32 scratch),
+    outputs are written back in the input dtype.
+    """
     m = pl.program_id(2)
+    dt = f_ref.dtype
 
     @pl.when(m == 0)
     def _():
@@ -68,21 +74,28 @@ def _kernel(f_ref, z_ref, wf_ref, wz_ref, b0_ref, w1_ref, b1_ref,
         jnp.dot(z_row, wz_ref[:, :], preferred_element_type=jnp.float32)
         + b0_ref[:, :]
     )  # (1, Cp)
-    h = jnp.maximum(featpart_ref[:, :] + z_bias, 0.0)
+    h = jnp.maximum(featpart_ref[:, :] + z_bias, 0.0).astype(dt)
     h = jnp.maximum(
         jnp.dot(h, w1_ref[:, :], preferred_element_type=jnp.float32)
         + b1_ref[:, :],
         0.0,
-    )
+    ).astype(dt)
     out = (
         jnp.dot(h, w2_ref[:, :], preferred_element_type=jnp.float32)
         + b2_ref[:, :]
     )
-    out_ref[0, 0] = out
+    # store only the true K output channels — the weight matrix is lane-padded
+    # for the MXU but writing padded outputs would amplify HBM traffic ~42x
+    k_true = out_ref.shape[-1]
+    out_ref[0, 0] = out[:, :k_true].astype(dt)
 
 
 def _forward(feats, z, wf, wz, b0, w1, b1, w2, b2, tile_s: int = 512):
-    """feats (B, S, C), z (B, M, D) -> (B, M, S, K) via the Pallas kernel."""
+    """feats (B, S, C), z (B, M, D) -> (B, M, S, K) via the Pallas kernel.
+
+    Runs in the features' dtype (bf16 stays bf16 end-to-end; f32 accumulate
+    inside the kernel); biases stay f32 so the accumulator adds are exact.
+    """
     b, s, c = feats.shape
     m, d = z.shape[1], z.shape[2]
     k = w2.shape[1]
@@ -92,13 +105,16 @@ def _forward(feats, z, wf, wz, b0, w1, b1, w2, b2, tile_s: int = 512):
     kp = _round_up(k, _LANE)
     sp = _round_up(s, tile_s)
 
+    dt = feats.dtype
     f32 = jnp.float32
-    feats_p = _pad_to(_pad_to(feats.astype(f32), sp, 1), cp, 2)
+    feats_p = _pad_to(_pad_to(feats, sp, 1), cp, 2)
+    # z path stays f32: it is tiny ((1, D) x (D, C) per member) and f32
+    # sublane tiling is required for the per-member dynamic row slice
     z_p = _pad_to(z.astype(f32), dp, 2)
-    wf_p = _pad_to(_pad_to(wf.astype(f32), cp, 0), cp, 1)
     wz_p = _pad_to(_pad_to(wz.astype(f32), dp, 0), cp, 1)
-    w1_p = _pad_to(_pad_to(w1.astype(f32), cp, 0), cp, 1)
-    w2_p = _pad_to(_pad_to(w2.astype(f32), cp, 0), kp, 1)
+    wf_p = _pad_to(_pad_to(wf.astype(dt), cp, 0), cp, 1)
+    w1_p = _pad_to(_pad_to(w1.astype(dt), cp, 0), cp, 1)
+    w2_p = _pad_to(_pad_to(w2.astype(dt), cp, 0), kp, 1)
     b0_p = _pad_to(b0.astype(f32)[None], cp, 1)
     b1_p = _pad_to(b1.astype(f32)[None], cp, 1)
     b2_p = _pad_to(b2.astype(f32)[None], kp, 1)
@@ -128,10 +144,10 @@ def _forward(feats, z, wf, wz, b0, w1, b1, w2, b2, tile_s: int = 512):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tile_s, kp), lambda bi, si, mi: (bi, mi, si, 0),
+            (1, 1, tile_s, k), lambda bi, si, mi: (bi, mi, si, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, m, sp, kp), f32),
+        out_shape=jax.ShapeDtypeStruct((b, m, sp, k), dt),
         scratch_shapes=[pltpu.VMEM((tile_s, cp), f32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * sp * cp * (cp + m * (cp + kp)),
@@ -159,7 +175,7 @@ def fcomb_fused(feats, z, wf, wz, b0, w1, b1, w2, b2):
 
     feats (B, S, C) float, z (B, M, D), weights in matmul layout
     (wf (C, C), wz (D, C), w1 (C, C), w2 (C, K), biases 1-D).
-    Returns (B, M, S, K) float32.
+    Returns (B, M, S, K) in the features' dtype (f32 accumulation inside).
     """
     return _forward(feats, z, wf, wz, b0, w1, b1, w2, b2)
 
@@ -170,7 +186,14 @@ def _fwd(feats, z, wf, wz, b0, w1, b1, w2, b2):
 
 
 def _bwd(res, g):
-    _, vjp = jax.vjp(_reference, *res)
+    # match the XLA oracle's output dtype to the kernel's (mixed-precision
+    # inputs make the einsum promote to f32 while the kernel emits bf16)
+    out_dt = res[0].dtype
+
+    def ref_fn(*a):
+        return _reference(*a).astype(out_dt)
+
+    _, vjp = jax.vjp(ref_fn, *res)
     return vjp(g)
 
 

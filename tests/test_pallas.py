@@ -28,6 +28,18 @@ def test_fcomb_fused_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fcomb_fused_bf16():
+    inp = _fcomb_inputs()
+    bf = {k: (v.astype(jnp.bfloat16) if k in ("feats", "z") else v)
+          for k, v in inp.items()}
+    got = fcomb_fused(**bf)
+    assert got.dtype == jnp.bfloat16
+    want = fcomb_reference(**inp)  # f32 oracle
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
+    )
+
+
 def test_fcomb_fused_unaligned_spatial():
     # S not a multiple of the tile: padding path
     inp = _fcomb_inputs(s=70)

@@ -1,0 +1,39 @@
+"""Gradient rematerialization: numerics identical, memory-for-compute knob."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probunet_tpu.models.prob_unet import ProbabilisticUNet
+
+
+def _model(remat: bool):
+    return ProbabilisticUNet(
+        input_channels=3, num_classes=3, latent_dim=4,
+        num_filters=(8, 16), model_channels=8, channel_mult=(1, 2),
+        img_resolution=(32, 32), num_blocks=1, dropout=0.0, remat=remat,
+    )
+
+
+def test_remat_grads_match():
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 3)), jnp.float32
+    )
+    m0, m1 = _model(False), _model(True)
+    params = jax.jit(m0.init)(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+    )["params"]
+
+    def loss(model, p):
+        total, _ = model.apply(
+            {"params": p}, x, x, M=2, method=ProbabilisticUNet.elbo,
+            rngs={"latent": jax.random.key(2), "dropout": jax.random.key(3)},
+        )
+        return total
+
+    # identical parameter structure: remat is purely a recompute schedule
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
