@@ -113,7 +113,9 @@ def cmd_train(args):
     logger = MetricLogger(logdir=args.outdir, use_wandb=args.wandb)
     ckpt = CheckpointManager(os.path.join(os.path.abspath(args.outdir), "ckpt"))
     trainer = Trainer(cfg, model, ds_train, ds_val, logger=logger,
-                      checkpoint_manager=ckpt)
+                      checkpoint_manager=ckpt,
+                      plot_dir=args.outdir if args.plot_every else None,
+                      plot_every=args.plot_every or 1)
     if getattr(args, "resume", False):
         # full train-state resume (params+opt+step+rng) — a capability the
         # reference lacks entirely (end-of-run torch.save only, SURVEY.md §5)
@@ -126,6 +128,19 @@ def cmd_train(args):
     history = trainer.fit()
     with open(os.path.join(args.outdir, "losses.pkl"), "wb") as f:
         pickle.dump(history, f)  # the losses.pkl artifact (src/main.py:216)
+
+    # improvement over plain interpolation
+    # (reference src/train_prob_unet_model.py:307-349)
+    try:
+        import numpy as _np
+        from probunet_tpu.evals import residual_contribution
+        hr_pred, hr, lrinterp, *_ = trainer.sample_ensemble(
+            num_items=min(32, len(ds_val or ds_train)), num_samples=4
+        )
+        contrib = residual_contribution(hr_pred, lrinterp, hr)
+        print(json.dumps({"residual_contribution": contrib}))
+    except Exception as e:
+        print(f"residual-contribution analysis skipped: {e}")
     try:
         from probunet_tpu.utils.plotting import plot_loss_curves
         plot_loss_curves(history,
@@ -345,6 +360,163 @@ def cmd_evaluate(args):
                  save_path=os.path.join(args.outdir, "psd.png"))
 
 
+def cmd_infer_domain(args):
+    """Full-domain tiled ensemble inference (BASELINE config 5; the
+    reference only ever processes one fixed 128x128 window —
+    SURVEY.md §2.5 P4). The domain is decomposed into pooling-aligned
+    overlap tiles, every (day, tile) pair rides the device batch, per-pixel
+    statistics are sliced per tile from the global stats artifact, and the
+    per-tile HR ensembles are stitched with cosine-ramp blending."""
+    import jax
+    import jax.numpy as jnp
+
+    from probunet_tpu.data.climex import (
+        Standardization, preprocess_batch, residual_to_hr,
+    )
+    from probunet_tpu.evals import compute_mae, crps_over_groundtruth
+    from probunet_tpu.models.prob_unet import ProbabilisticUNet
+    from probunet_tpu.parallel.spatial import extract_tiles, stitch_tiles
+    from probunet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = build_config(args)
+    k = cfg.data.lowres_scale
+    tile = cfg.data.resolution[0]
+    dom = args.domain
+    os.makedirs(args.outdir, exist_ok=True)
+
+    # full-domain dataset (synthetic unless datadir given)
+    from probunet_tpu.data.climex import ClimexDataset
+    # the dataset edge-pads the domain to a pooling multiple (ClimEx 280 is
+    # not divisible by scale 16); inference runs on the padded grid and the
+    # stitched result is cropped back to `dom`
+    ds = ClimexDataset(
+        datadir=cfg.data.datadir or None,
+        years=range(*cfg.data.years_test),
+        variables=cfg.data.variables,
+        coords=(0, dom, 0, dom),
+        pipeline=cfg.data.pipeline,
+        lowres_scale=k,
+        transfo=cfg.data.transfo,
+        interp_mode=cfg.data.interp_mode,
+        synthetic=cfg.data.synthetic or not cfg.data.datadir,
+        pad_to_multiple=True,
+    )
+    days = min(args.days, len(ds))
+    hr_days = jnp.asarray(ds.get_hr_batch(np.arange(days)))
+    dom_pad = hr_days.shape[1]
+    gt_days = np.asarray(hr_days[:, :dom, :dom])  # unpadded grid for metrics
+
+    model = make_model(cfg)
+    res = cfg.data.resolution
+    x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+    )["params"]
+    if args.ckpt:
+        params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
+
+    # pooling-aligned tiles + per-tile slices of the global stats
+    tiles, positions = extract_tiles(hr_days, tile, args.overlap, align=k)
+    ntiles = len(positions)
+    g = jax.tree.map(jnp.asarray, ds.stats)
+
+    def stat_tiles(arr, scale):
+        s = jnp.stack([
+            arr[y // scale:(y + tile) // scale, x0 // scale:(x0 + tile) // scale]
+            for (y, x0) in positions
+        ])
+        return jnp.tile(s, (days, 1, 1, 1))  # day-major tile order
+
+    stats_t = Standardization(
+        lr_mean=stat_tiles(g.lr_mean, k), lr_std=stat_tiles(g.lr_std, k),
+        hr_mean=stat_tiles(g.hr_mean, 1), hr_std=stat_tiles(g.hr_std, 1),
+        lr_min=stat_tiles(g.lr_min, k), lr_max=stat_tiles(g.lr_max, k),
+        hr_min=stat_tiles(g.hr_min, 1), hr_max=stat_tiles(g.hr_max, 1),
+    )
+
+    m_members = args.members
+
+    @jax.jit
+    def sample_tiles(hr_t, st, key):
+        batch = preprocess_batch(hr_t, st, cfg.data.pipeline, k,
+                                 cfg.data.interp_mode, cfg.data.epsilon,
+                                 cfg.data.standardization)
+        out = model.apply({"params": params}, batch["inputs"],
+                          num_samples=m_members,
+                          method=ProbabilisticUNet.sample,
+                          rngs={"latent": key})
+        st_b = jax.tree.map(
+            lambda a: a[:, None] if a is not None else a, st
+        )
+        return residual_to_hr(out, batch["lrinterp"][:, None], st_b,
+                              cfg.data.pipeline, cfg.data.epsilon,
+                              cfg.data.standardization)
+
+    bs = args.batch_tiles
+    outs = []
+    key = jax.random.key(cfg.train.seed)
+    for i in range(0, tiles.shape[0], bs):
+        st_chunk = jax.tree.map(
+            lambda a: a[i:i + bs] if a is not None else a, stats_t
+        )
+        outs.append(np.asarray(sample_tiles(
+            tiles[i:i + bs], st_chunk, jax.random.fold_in(key, i)
+        )))
+    out = jnp.asarray(np.concatenate(outs))      # (T*ntiles, M, tile, tile, C)
+
+    full = stitch_tiles(out, positions, (dom_pad, dom_pad))
+    full = full[:, :, :dom, :dom]                # (T, M, H, W, C) crop padding
+    gt = jnp.asarray(gt_days)
+    if cfg.data.transfo:
+        from probunet_tpu.data.transforms import invert_physical_transform
+        full = invert_physical_transform(full, cfg.data.variables)
+        gt = invert_physical_transform(gt, cfg.data.variables)
+
+    crps = crps_over_groundtruth(full, gt)
+    mae = compute_mae(full, gt)
+    result = {
+        "domain": dom, "days": days, "tiles_per_day": ntiles,
+        "members": m_members,
+        "crps_mean": np.asarray(crps["mean"]).tolist(),
+        "mae_mean": np.asarray(mae["mean"]).tolist(),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(args.outdir, "infer_domain.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    try:
+        from probunet_tpu.utils.plotting import plot_sample_batch
+        plot_sample_batch(np.asarray(full[:1, :3]), np.asarray(gt[:1]),
+                          variables=cfg.data.variables,
+                          save_path=os.path.join(args.outdir, "domain.png"))
+    except Exception as e:
+        print(f"plotting skipped: {e}")
+
+
+def cmd_pack(args):
+    """One-time NetCDF -> packed-array conversion (SURVEY.md §7 row 1): the
+    training loop then memory-maps the artifact instead of re-running the
+    reference's per-item ingest every epoch."""
+    from probunet_tpu.data.climex import save_packed
+
+    cfg = build_config(args)
+    years = {"train": cfg.data.years_train, "val": cfg.data.years_val,
+             "test": cfg.data.years_test}[args.split]
+    from probunet_tpu.data.climex import ClimexDataset
+    ds = ClimexDataset(
+        datadir=cfg.data.datadir or None,
+        years=range(*years),
+        variables=cfg.data.variables,
+        coords=cfg.data.coords,
+        pipeline=cfg.data.pipeline,
+        lowres_scale=cfg.data.lowres_scale,
+        transfo=False,  # pack RAW physical fields; transforms apply at load
+        megafile=cfg.data.megafile,
+        synthetic=cfg.data.synthetic,
+    )
+    save_packed(args.out, ds.hr, ds.timestamps, ds.timestamps_float)
+    print(json.dumps({"packed": args.out, "shape": list(ds.hr.shape)}))
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -374,6 +546,9 @@ def main(argv=None):
     sp.add_argument("--wandb", action="store_true")
     sp.add_argument("--resume", action="store_true",
                     help="resume full train state from the latest checkpoint")
+    sp.add_argument("--plot-every", type=int, default=0,
+                    help="save ensemble/residual figures every N epochs "
+                         "(0 = off; the reference plots every epoch)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-det", help="deterministic baselines")
@@ -397,6 +572,24 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--max-items", type=int, default=None)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("infer-domain",
+                        help="full-domain tiled ensemble inference")
+    common(sp)
+    sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--domain", type=int, default=280)
+    sp.add_argument("--days", type=int, default=4)
+    sp.add_argument("--members", type=int, default=8)
+    sp.add_argument("--overlap", type=int, default=16)
+    sp.add_argument("--batch-tiles", type=int, default=16)
+    sp.set_defaults(fn=cmd_infer_domain)
+
+    sp = sub.add_parser("pack", help="NetCDF -> packed-array conversion")
+    common(sp)
+    sp.add_argument("--split", choices=("train", "val", "test"),
+                    default="train")
+    sp.add_argument("--out", required=True, help="output .npz path")
+    sp.set_defaults(fn=cmd_pack)
 
     sp = sub.add_parser("bench", help="headline benchmark")
     sp.set_defaults(fn=cmd_bench)

@@ -233,6 +233,31 @@ def residual_to_hr(
     )
 
 
+def save_packed(path: str, hr: np.ndarray, timestamps=None,
+                timestamps_float=None) -> None:
+    """Write the packed-array artifact (`probunet_tpu pack` output): one
+    .npz with the (T, H, W, C) float32 stack + timestamp features. Replaces
+    the reference's per-epoch NetCDF->tensor ingest with a one-time
+    conversion (SURVEY.md §7 design mapping, row 1)."""
+    np.savez(
+        path,
+        hr=np.asarray(hr, np.float32),
+        timestamps=(np.zeros(len(hr), np.float32)
+                    if timestamps is None else np.asarray(timestamps)),
+        timestamps_float=(np.zeros(len(hr), np.float64)
+                          if timestamps_float is None
+                          else np.asarray(timestamps_float)),
+    )
+
+
+def load_packed(path: str):
+    """Memory-mapped read of a packed artifact -> (hr, timestamps, ts_float)."""
+    if path.endswith(".npy"):
+        return np.load(path, mmap_mode="r"), None, None
+    z = np.load(path, mmap_mode="r")
+    return z["hr"], z["timestamps"], z["timestamps_float"]
+
+
 class ClimexDataset:
     """In-memory (T, H, W, C) HR stack + stats + batch assembly.
 
@@ -261,6 +286,8 @@ class ClimexDataset:
         synthetic: bool = False,
         synthetic_seed: int = 0,
         standardization: str = "perpixel",
+        pad_to_multiple: bool = False,
+        packed: str | None = None,
     ):
         self.variables = tuple(variables)
         self.nvars = len(self.variables)
@@ -275,7 +302,18 @@ class ClimexDataset:
         self.standardization = standardization
         self.years = list(years)
 
-        if hr is not None:
+        if packed is not None:
+            # packed .npy/.npz produced by `probunet_tpu pack`: memory-mapped,
+            # so construction is O(1) and pages stream in as batches are cut
+            hr, ts, tsf = load_packed(packed)
+            if ts is not None and timestamps is None:
+                timestamps, timestamps_float = ts, tsf
+            c = self.coords
+            hr = np.ascontiguousarray(
+                hr[:, c[2]:c[3], c[0]:c[1], :]
+                if hr.shape[1] > c[3] - c[2] else hr
+            )
+        elif hr is not None:
             hr = np.asarray(hr, dtype=np.float32)
         elif synthetic or datadir is None and megafile is None:
             h = self.coords[1] - self.coords[0]
@@ -286,6 +324,18 @@ class ClimexDataset:
             )
         else:
             hr = self._load_netcdf(datadir, megafile)
+
+        # optional edge-padding of H/W to pooling multiples — needed for
+        # full-domain work (ClimEx 280 is not divisible by scale 16);
+        # `orig_shape` records the unpadded grid for cropping results back
+        self.orig_shape = hr.shape
+        if pad_to_multiple:
+            k = self.lowres_scale
+            ph = (-hr.shape[1]) % k
+            pw = (-hr.shape[2]) % k
+            if ph or pw:
+                hr = np.pad(hr, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                            mode="edge")
 
         t = hr.shape[0]
         if timestamps is None or timestamps_float is None:

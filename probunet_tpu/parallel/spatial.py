@@ -109,13 +109,22 @@ def halo_conv2d(
 # Overlap-tile decomposition for full-domain inference
 # ---------------------------------------------------------------------------
 
-def _tile_starts(full: int, tile: int, overlap: int) -> list[int]:
-    """Start offsets covering [0, full) with >= overlap shared pixels."""
+def _tile_starts(full: int, tile: int, overlap: int, align: int = 1) -> list[int]:
+    """Start offsets covering [0, full) with >= overlap shared pixels.
+
+    ``align`` snaps every origin down to a multiple (e.g. the lowres pooling
+    factor, so per-tile pooling equals slicing the global pooled grid)."""
     if tile >= full:
         return [0]
-    stride = tile - overlap
-    n = math.ceil((full - tile) / stride) + 1
-    starts = [min(i * stride, full - tile) for i in range(n)]
+    stride = max(align, (tile - overlap) // align * align)
+    last = (full - tile) // align * align
+    if last + tile < full:
+        raise ValueError(
+            f"domain {full} not coverable by aligned tiles (tile={tile}, "
+            f"align={align}); pad the domain to a multiple of {align}"
+        )
+    n = math.ceil(last / stride) + 1 if last else 1
+    starts = [min(i * stride, last) for i in range(n)]
     # dedupe while keeping order (tail tiles may clamp to the same start)
     out: list[int] = []
     for s in starts:
@@ -124,14 +133,15 @@ def _tile_starts(full: int, tile: int, overlap: int) -> list[int]:
     return out
 
 
-def extract_tiles(field: np.ndarray | jax.Array, tile: int, overlap: int = 16):
+def extract_tiles(field: np.ndarray | jax.Array, tile: int, overlap: int = 16,
+                  align: int = 1):
     """(T, H, W, C) -> ((T*ntiles, tile, tile, C) array, positions).
 
     positions is a list of (y, x) tile origins, length ntiles.
     """
     t, h, w, c = field.shape
-    ys = _tile_starts(h, tile, overlap)
-    xs = _tile_starts(w, tile, overlap)
+    ys = _tile_starts(h, tile, overlap, align)
+    xs = _tile_starts(w, tile, overlap, align)
     positions = [(y, x) for y in ys for x in xs]
     xp = jnp.asarray(field)
     tiles = jnp.stack(

@@ -272,6 +272,8 @@ class Trainer:
         checkpoint_manager=None,
         sharding=None,
         state: TrainState | None = None,
+        plot_dir: str | None = None,
+        plot_every: int = 1,
     ):
         self.cfg = cfg
         self.model = model
@@ -280,6 +282,8 @@ class Trainer:
         self.logger = logger
         self.ckpt = checkpoint_manager
         self.sharding = sharding
+        self.plot_dir = plot_dir
+        self.plot_every = plot_every
 
         res = cfg.data.resolution
         example_x = jnp.zeros(
@@ -343,6 +347,59 @@ class Trainer:
                     int(self.state.step), self.state,
                     extra={"epoch": epoch, "beta_0": beta_0, "beta_1": beta_1},
                 )
+            if self.plot_dir and epoch % self.plot_every == 0:
+                try:
+                    self.save_sample_plots(epoch)
+                except Exception as e:  # plotting must never kill training
+                    if self.logger:
+                        self.logger.log({"plot_error": str(e)}, kind="info")
         if self.ckpt is not None:
             self.ckpt.wait()
         return self.history
+
+    # ------------------------------------------------------------------
+    def sample_ensemble(self, dataset=None, num_items: int = 3,
+                        num_samples: int = 3, seed: int = 0):
+        """Prior-ensemble HR fields for a few items:
+        (samples (B, M, H, W, C), hr, lrinterp) — the per-epoch sanity
+        sampling of reference src/train_prob_unet_model.py:213-305."""
+        ds = dataset or self.dataset_val or self.dataset_train
+        idx = np.arange(num_items)
+        batch = ds.preprocess(jnp.asarray(ds.get_hr_batch(idx)))
+        out = self.model.apply(
+            {"params": self.state.params}, batch["inputs"],
+            num_samples=num_samples, method=type(self.model).sample,
+            rngs={"latent": jax.random.key(seed)},
+        )
+        hr_pred = ds.residual_to_hr(
+            out, batch["lrinterp"][:, None],
+            item_stats=batch.get("stand_stats"),
+        )
+        return hr_pred, batch["hr"], batch["lrinterp"], out, batch["targets"]
+
+    def save_sample_plots(self, epoch: int):
+        """Per-epoch ensemble / residual-difference figures
+        (reference src/main.py:171-203)."""
+        import os
+
+        from probunet_tpu.utils.plotting import (
+            plot_residual_differences, plot_residual_sample_batch,
+            plot_sample_batch,
+        )
+
+        hr_pred, hr, lrinterp, resid, resid_tgt = self.sample_ensemble()
+        d = self.plot_dir
+        variables = self.cfg.data.variables
+        plot_sample_batch(
+            np.asarray(hr_pred), np.asarray(hr), np.asarray(lrinterp),
+            variables=variables,
+            save_path=os.path.join(d, f"samples_ep{epoch:03d}.png"),
+        )
+        plot_residual_sample_batch(
+            np.asarray(resid), np.asarray(resid_tgt), variables=variables,
+            save_path=os.path.join(d, f"residuals_ep{epoch:03d}.png"),
+        )
+        plot_residual_differences(
+            np.asarray(resid), variables=variables,
+            save_path=os.path.join(d, f"residual_diffs_ep{epoch:03d}.png"),
+        )

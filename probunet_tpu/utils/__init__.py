@@ -1,5 +1,6 @@
-"""Utilities: plotting, profiling, seeding."""
+"""Utilities: plotting, profiling, misc training helpers."""
 
+from probunet_tpu.utils.misc import l2_regularization, moving_average
 from probunet_tpu.utils.plotting import (
     plot_batch,
     plot_loss_curves,
@@ -20,4 +21,6 @@ __all__ = [
     "plot_psd",
     "plot_return_levels",
     "plot_latent_grid",
+    "l2_regularization",
+    "moving_average",
 ]

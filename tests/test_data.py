@@ -141,3 +141,30 @@ class TestLoader:
         assert len(out) == 5
         for i, item in enumerate(out):
             np.testing.assert_array_equal(np.asarray(item["x"]), i)
+
+
+def test_packed_roundtrip(tmp_path):
+    import numpy as np
+
+    from probunet_tpu.data.climex import (
+        ClimexDataset, load_packed, save_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    hr = rng.standard_normal((6, 16, 16, 3)).astype(np.float32)
+    ts = rng.standard_normal(6).astype(np.float32)
+    tsf = np.arange(6, dtype=np.float64)
+    path = str(tmp_path / "packed.npz")
+    save_packed(path, hr, ts, tsf)
+
+    loaded, lts, ltsf = load_packed(path)
+    np.testing.assert_allclose(np.asarray(loaded), hr)
+    np.testing.assert_allclose(np.asarray(lts), ts)
+
+    ds = ClimexDataset(packed=path, coords=(0, 16, 0, 16), lowres_scale=4)
+    assert len(ds) == 6
+    np.testing.assert_allclose(ds.hr, hr)
+    np.testing.assert_allclose(ds.timestamps, ts)
+    # cropping from a larger packed stack
+    ds2 = ClimexDataset(packed=path, coords=(0, 8, 4, 12), lowres_scale=4)
+    np.testing.assert_allclose(ds2.hr, hr[:, 4:12, 0:8, :])

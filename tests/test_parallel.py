@@ -148,6 +148,23 @@ def test_dp_spatial_train_and_eval_step():
     assert np.isfinite(float(em["recon"]))
 
 
+def test_tile_starts_alignment():
+    from probunet_tpu.parallel.spatial import _tile_starts
+
+    # 288 = ClimEx 280 edge-padded to the pooling multiple (the dataset's
+    # pad_to_multiple flag); aligned coverage must be exact there
+    starts = _tile_starts(288, 128, 16, align=16)
+    assert all(s % 16 == 0 for s in starts)
+    covered = set()
+    for s in starts:
+        covered.update(range(s, s + 128))
+    assert covered == set(range(288))
+
+    # raw 280 is NOT coverable by 16-aligned 128-tiles: explicit error
+    with pytest.raises(ValueError, match="aligned"):
+        _tile_starts(280, 128, 16, align=16)
+
+
 def test_extract_stitch_roundtrip():
     rng = np.random.default_rng(3)
     field = jnp.asarray(rng.standard_normal((2, 70, 50, 3)), jnp.float32)

@@ -40,6 +40,18 @@ def test_weight_function_analysis():
     assert np.all(np.diff(a["weight_curve"]) >= -1e-9)  # monotone in y
 
 
+def test_misc_utils():
+    from probunet_tpu.utils import l2_regularization, moving_average
+
+    params = {"a": jnp.ones((2, 3)), "b": {"c": 2.0 * jnp.ones(4)}}
+    np.testing.assert_allclose(float(l2_regularization(params)), 6 + 16)
+
+    ma = moving_average(np.arange(10.0), window=4)
+    np.testing.assert_allclose(ma, [1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5])
+    # shorter than window: passthrough copy
+    np.testing.assert_allclose(moving_average([1.0, 2.0], window=4), [1, 2])
+
+
 def test_multihost_single_process():
     from probunet_tpu.parallel import (
         global_batch, make_mesh, process_local_indices,
