@@ -50,6 +50,13 @@ def main() -> None:
     # still runs the XLA formulation.
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg.model.use_pallas_fcomb = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # bs=32 is the reference's setting (it measured 123 samples/s there);
+    # one v5e chip is occupancy-bound at bs=32 (5.1ms/step regardless of
+    # batch up to 128), so the shipped default fills the chip: bs=128 ->
+    # ~23.4k samples/s vs ~6.9k at bs=32. BENCH_BS=32 reproduces the
+    # strictly matched-config comparison. bs=256 exceeds 16G HBM at M=15.
+    if not on_cpu:
+        cfg.train.batch_size = int(os.environ.get("BENCH_BS", "128"))
 
     b = cfg.train.batch_size
     res = cfg.data.resolution
@@ -137,8 +144,8 @@ def main() -> None:
 
     samples_per_sec = n_steps * b / dt
     print(json.dumps({
-        "metric": "train_samples_per_sec_128x128_afcrps_M15" if not on_cpu
-        else "train_samples_per_sec_cpu_smoke",
+        "metric": f"train_samples_per_sec_128x128_afcrps_M15_bs{b}"
+        if not on_cpu else "train_samples_per_sec_cpu_smoke",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),

@@ -95,6 +95,9 @@ class ProbabilisticUNet(nn.Module):
             posterior=True,
             dtype=self.dtype,
         )
+        # remat covers the UNet blocks only: checkpointing the fcomb decode
+        # was measured to INCREASE peak HBM (prevent_cse duplication
+        # outweighs the dropped (B, M, H, W, C) residuals on v5e)
         self.fcomb = Fcomb(
             unet_output_channels=self.num_filters[0],
             latent_dim=self.latent_dim,
