@@ -112,10 +112,19 @@ def cmd_train(args):
     model = make_model(cfg)
     logger = MetricLogger(logdir=args.outdir, use_wandb=args.wandb)
     ckpt = CheckpointManager(os.path.join(os.path.abspath(args.outdir), "ckpt"))
+    mesh = None
+    if args.dp:
+        import jax
+
+        from probunet_tpu.parallel.mesh import make_mesh
+        n = len(jax.devices()) if args.dp == -1 else args.dp
+        mesh = make_mesh(n_data=n)
+        print(f"data-parallel over {dict(mesh.shape)}")
     trainer = Trainer(cfg, model, ds_train, ds_val, logger=logger,
                       checkpoint_manager=ckpt,
                       plot_dir=args.outdir if args.plot_every else None,
-                      plot_every=args.plot_every or 1)
+                      plot_every=args.plot_every or 1,
+                      mesh=mesh)
     if getattr(args, "resume", False):
         # full train-state resume (params+opt+step+rng) — a capability the
         # reference lacks entirely (end-of-run torch.save only, SURVEY.md §5)
@@ -132,7 +141,6 @@ def cmd_train(args):
     # improvement over plain interpolation
     # (reference src/train_prob_unet_model.py:307-349)
     try:
-        import numpy as _np
         from probunet_tpu.evals import residual_contribution
         hr_pred, hr, lrinterp, *_ = trainer.sample_ensemble(
             num_items=min(32, len(ds_val or ds_train)), num_samples=4
@@ -549,6 +557,8 @@ def main(argv=None):
     sp.add_argument("--plot-every", type=int, default=0,
                     help="save ensemble/residual figures every N epochs "
                          "(0 = off; the reference plots every epoch)")
+    sp.add_argument("--dp", type=int, default=0,
+                    help="data-parallel over N devices (-1 = all, 0 = off)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("train-det", help="deterministic baselines")

@@ -29,14 +29,12 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from probunet_tpu.models.fcomb import Fcomb
 from probunet_tpu.models.gaussian import AxisAlignedConvGaussian
 from probunet_tpu.models.unet import UNet
 from probunet_tpu.ops.distributions import (
-    DiagGaussian,
     kl_diag_gaussians,
     kl_to_standard_normal,
 )

@@ -19,7 +19,6 @@ Layout is NHWC (TPU-native); the depthwise Gaussian filter is a grouped
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ cropping one fixed 128x128 window (reference src/train_prob_unet_model.py:34)
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

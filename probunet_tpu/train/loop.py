@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -118,32 +118,15 @@ def optax_global_norm(tree) -> jax.Array:
 def make_eval_step(model: ProbabilisticUNet, cfg: Config) -> Callable:
     """Jitted no-grad ELBO evaluation
     (reference src/train_prob_unet_model.py:161-210). Uses the posterior like
-    the reference eval (elbo with targets), M = eval_ensemble_size."""
-    loss_cfg = cfg.loss
-    data_cfg = cfg.data
-    m_size = cfg.train.eval_ensemble_size
+    the reference eval (elbo with targets), M = eval_ensemble_size. Shares
+    the exact loss/rng wiring of the mesh-parallel eval step so single- and
+    multi-device evaluation produce identical values."""
+    eval_loss_fn = make_elbo_loss_fn(model, cfg, training=False)
 
     @jax.jit
     def step(params, rng, hr_batch, stats: Standardization):
-        batch = preprocess_batch(
-            hr_batch, stats, data_cfg.pipeline, data_cfg.lowres_scale,
-            data_cfg.interp_mode, data_cfg.epsilon, data_cfg.standardization,
-        )
-        total, metrics = model.apply(
-            {"params": params},
-            batch["inputs"],
-            batch["targets"],
-            M=m_size,
-            loss_type=loss_cfg.loss_type,
-            beta_0=1.0,
-            beta_1=0.0,
-            alpha=loss_cfg.alpha,
-            alpha_w=loss_cfg.alpha_w,
-            beta_w=loss_cfg.beta_w,
-            lam_w=loss_cfg.lam_w,
-            training=False,
-            method=ProbabilisticUNet.elbo,
-            rngs={"latent": rng},
+        total, metrics = eval_loss_fn(
+            params, rng, hr_batch, stats, jnp.float32(1.0), jnp.float32(0.0)
         )
         return {"recon": metrics["recon"], "kl_mean": metrics["kl_mean"],
                 "loss": total}
@@ -274,6 +257,7 @@ class Trainer:
         state: TrainState | None = None,
         plot_dir: str | None = None,
         plot_every: int = 1,
+        mesh=None,
     ):
         self.cfg = cfg
         self.model = model
@@ -281,6 +265,10 @@ class Trainer:
         self.dataset_val = dataset_val
         self.logger = logger
         self.ckpt = checkpoint_manager
+        self.mesh = mesh
+        if mesh is not None and sharding is None:
+            from probunet_tpu.parallel.mesh import batch_sharding
+            sharding = batch_sharding(mesh, spatial=False)
         self.sharding = sharding
         self.plot_dir = plot_dir
         self.plot_every = plot_every
@@ -297,9 +285,25 @@ class Trainer:
             lr=cfg.train.lr,
             weight_decay=cfg.train.weight_decay,
         )
-        self.train_step = make_train_step(model, cfg)
-        self.eval_step = make_eval_step(model, cfg)
-        self.stats_dev = jax.tree.map(jnp.asarray, dataset_train.stats)
+        if mesh is not None:
+            # data-parallel jitted steps over the mesh (SURVEY.md §2.5 P1);
+            # state/stats replicated, batch sharded over "data"
+            from probunet_tpu.parallel.data_parallel import (
+                make_parallel_eval_step, make_parallel_train_step,
+            )
+            from probunet_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(self.state, replicated(mesh))
+            self.train_step = make_parallel_train_step(model, cfg, mesh)
+            self.eval_step = make_parallel_eval_step(model, cfg, mesh)
+            self.stats_dev = jax.device_put(
+                jax.tree.map(jnp.asarray, dataset_train.stats),
+                replicated(mesh),
+            )
+        else:
+            self.train_step = make_train_step(model, cfg)
+            self.eval_step = make_eval_step(model, cfg)
+            self.stats_dev = jax.tree.map(jnp.asarray, dataset_train.stats)
         self.stopper = EarlyStopper(cfg.train.patience, cfg.train.min_delta)
         self.history = {"train_crps": [], "train_kl": [], "val_crps": [], "val_kl": []}
 

@@ -191,6 +191,35 @@ def test_tiled_ensemble_linear_model():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_trainer_with_mesh_matches_single_device():
+    from probunet_tpu.data.climex import ClimexDataset
+    from probunet_tpu.train.loop import Trainer
+
+    cfg = tiny_cfg(batch=16, m=2)
+    cfg.train.num_epochs = 1
+    cfg.loss.warmup_epochs = 0
+    model = tiny_model(cfg)
+    res = cfg.data.resolution[0]
+    ds = ClimexDataset(years=range(1960, 1961), coords=(0, res, 0, res),
+                       pipeline="lrinterp_to_residuals", lowres_scale=4,
+                       synthetic=True)
+    ds.hr = ds.hr[:64]
+    ds.timestamps = ds.timestamps[:64]
+    ds.timestamps_float = ds.timestamps_float[:64]
+
+    t_single = Trainer(cfg, model, ds, ds)
+    h_single = t_single.fit(1)
+
+    mesh = make_mesh()
+    t_dp = Trainer(cfg, model, ds, ds, mesh=mesh)
+    h_dp = t_dp.fit(1)
+
+    np.testing.assert_allclose(h_dp["train_crps"], h_single["train_crps"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(h_dp["val_crps"], h_single["val_crps"],
+                               rtol=1e-4)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
