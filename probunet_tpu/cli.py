@@ -51,7 +51,7 @@ def build_config(args) -> Config:
 def make_datasets(cfg: Config):
     from probunet_tpu.data.climex import ClimexDataset
 
-    def mk(years):
+    def mk(years, split_idx):
         return ClimexDataset(
             datadir=cfg.data.datadir or None,
             years=range(*years),
@@ -64,11 +64,14 @@ def make_datasets(cfg: Config):
             interp_mode=cfg.data.interp_mode,
             epsilon=cfg.data.epsilon,
             synthetic=cfg.data.synthetic,
-            synthetic_seed=cfg.data.synthetic_seed,
+            # distinct synthetic fields per split (a shared seed would make
+            # train == test and every score degenerate)
+            synthetic_seed=cfg.data.synthetic_seed + split_idx,
             standardization=cfg.data.standardization,
         )
 
-    return mk(cfg.data.years_train), mk(cfg.data.years_val), mk(cfg.data.years_test)
+    return (mk(cfg.data.years_train, 0), mk(cfg.data.years_val, 1),
+            mk(cfg.data.years_test, 2))
 
 
 def make_model(cfg: Config):
@@ -189,17 +192,18 @@ def cmd_train_det(args):
 
     if args.model == "linearcnn":
         from probunet_tpu.models.baselines import LinearCNN
-        model = LinearCNN(num_classes=cfg.model.num_classes)
+        model = LinearCNN(in_channels=cfg.model.num_classes)
     else:
         from probunet_tpu.models.unet import UNetAll
         model = UNetAll(
-            unet_type=cfg.model.unet_type,
+            type=cfg.model.unet_type,
             img_resolution=cfg.data.resolution,
             in_channels=cfg.model.input_channels,
+            ds_scale=cfg.data.lowres_scale,
+            num_res_blocks=cfg.model.num_blocks,
+            channel_mult=cfg.model.channel_mult,
             out_channels=cfg.model.num_classes,
             model_channels=cfg.model.model_channels,
-            channel_mult=cfg.model.channel_mult,
-            num_blocks=cfg.model.num_blocks,
             dropout=cfg.model.dropout,
         )
 
@@ -221,7 +225,36 @@ def cmd_train_det(args):
             state, metrics = step(state, hr, stats)
             losses.append(metrics["loss"])
         print(f"epoch {epoch}: mse={float(jnp.mean(jnp.stack(losses))):.5f}")
-    print(json.dumps({"model": args.model, "epochs": cfg.train.num_epochs}))
+
+    # final real-units per-variable MAE on the test split, reconstructing
+    # HR = lrinterp + unstandardized residual and inverting the physical
+    # transforms (reference trainmodel.py:237-305 `reconstruct=True` eval +
+    # baseline/main.py:113-117 final MAE report)
+    from probunet_tpu.data.transforms import invert_physical_transform
+
+    @jax.jit
+    def predict_hr(params, hr_batch):
+        batch = ds_test.preprocess(hr_batch)
+        pred = model.apply({"params": params}, batch["inputs"], train=False)
+        hr_pred = ds_test.residual_to_hr(
+            pred, batch["lrinterp"], item_stats=batch.get("stand_stats")
+        )
+        gt = batch["hr"]
+        if cfg.data.transfo:
+            hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
+            gt = invert_physical_transform(gt, cfg.data.variables)
+        err = jnp.abs(hr_pred - gt)
+        return err.mean(axis=tuple(range(err.ndim - 1)))  # (C,)
+
+    maes = []
+    for idx in Batches(min(len(ds_test), 512), cfg.train.batch_size):
+        maes.append(predict_hr(state.params,
+                               jnp.asarray(ds_test.get_hr_batch(idx))))
+    mae = np.asarray(jnp.stack(maes).mean(axis=0))
+    print(json.dumps({
+        "model": args.model, "epochs": cfg.train.num_epochs,
+        "test_mae_real_units": dict(zip(cfg.data.variables, mae.tolist())),
+    }))
 
 
 def cmd_explore(args):

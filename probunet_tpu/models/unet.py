@@ -319,6 +319,8 @@ class UNetAll(nn.Module):
     num_res_blocks: int
     channel_mult: Sequence[int]
     out_channels: int
+    model_channels: int = 16
+    dropout: float = 0.10
     dtype: Any = None
 
     @nn.compact
@@ -328,8 +330,10 @@ class UNetAll(nn.Module):
                 img_resolution=self.img_resolution,
                 in_channels=self.in_channels,
                 out_channels=self.out_channels,
+                model_channels=self.model_channels,
                 channel_mult=tuple(self.channel_mult),
                 num_blocks=self.num_res_blocks,
+                dropout=self.dropout,
                 dtype=self.dtype,
                 name="unet",
             )(x, train=train)

@@ -179,8 +179,13 @@ def train_epoch(
     epoch: int,
     logger=None,
     sharding=None,
+    ckpt=None,
 ) -> tuple[TrainState, dict[str, float]]:
-    """One training epoch (reference src/train_prob_unet_model.py:105-158)."""
+    """One training epoch (reference src/train_prob_unet_model.py:105-158).
+
+    With ``ckpt`` and cfg.train.checkpoint_every > 0, a full-state
+    checkpoint is written every N steps (fault tolerance mid-epoch — the
+    reference only saves at end of training, SURVEY.md §5)."""
     batches = Batches(
         len(dataset), cfg.train.batch_size, shuffle=True,
         seed=cfg.train.seed + epoch,
@@ -189,6 +194,7 @@ def train_epoch(
     recon_vals, kl_vals = [], []
     b0 = jnp.asarray(beta_0, jnp.float32)
     b1 = jnp.asarray(beta_1, jnp.float32)
+    every = cfg.train.checkpoint_every
     t0 = time.time()
     n = 0
     for hr in prefetch_to_device(hr_iter, sharding=sharding):
@@ -199,6 +205,8 @@ def train_epoch(
                 {k: v for k, v in metrics.items()}, step=int(state.step),
                 kind="train",
             )
+        if ckpt is not None and every and int(state.step) % every == 0:
+            ckpt.save(int(state.step), state, extra={"epoch": epoch})
         recon_vals.append(metrics["recon"])
         kl_vals.append(metrics["kl_mean"])
     # single host sync at epoch end
@@ -317,7 +325,7 @@ class Trainer:
             self.state, train_summary = train_epoch(
                 self.train_step, self.state, self.dataset_train, self.stats_dev,
                 cfg, beta_0, beta_1, epoch, logger=self.logger,
-                sharding=self.sharding,
+                sharding=self.sharding, ckpt=self.ckpt,
             )
             self.history["train_crps"].append(train_summary["recon"])
             self.history["train_kl"].append(train_summary["kl"])
