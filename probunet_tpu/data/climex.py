@@ -188,6 +188,21 @@ def preprocess_batch(
     return {"inputs": lrinterp_stand, "targets": hr_stand, **out}
 
 
+def lrinterp_from_batch(
+    batch: dict[str, jax.Array], lowres_scale: int, interp_mode: str = "nearest"
+) -> jax.Array:
+    """The interpolated-LR baseline field for ANY pipeline's batch dict.
+
+    ``preprocess_batch`` only includes "lrinterp" for pipelines that consume
+    it (lr_to_hr returns just inputs/targets/hr/lr); samplers and evaluators
+    that reconstruct HR = lrinterp + residual must not KeyError on the other
+    pipelines — compute it from the LR field when absent.
+    """
+    if "lrinterp" in batch:
+        return batch["lrinterp"]
+    return upsample(batch["lr"], lowres_scale, interp_mode)
+
+
 def invstand_residual(
     residual: jax.Array,
     stats: Standardization,
@@ -227,10 +242,20 @@ def residual_to_hr(
     standardization: str = "perpixel",
     item_stats: dict | None = None,
 ) -> jax.Array:
-    """lrinterp + unstandardized residual (reference src/climex_utils.py:284-285)."""
-    return lrinterp + invstand_residual(
+    """Model output (standardized) -> HR field in storage units.
+
+    For the residual pipelines this is lrinterp + unstandardized residual
+    (reference src/climex_utils.py:284-285). For the ``*_to_hr`` pipelines
+    the model output IS the standardized HR field — ``invstand_residual``
+    already restores the mean, so adding ``lrinterp`` on top would
+    double-count the baseline; it is returned as-is.
+    """
+    inv = invstand_residual(
         residual, stats, pipeline, epsilon, standardization, item_stats
     )
+    if pipeline in ("lr_to_hr", "lrinterp_to_hr"):
+        return inv
+    return lrinterp + inv
 
 
 def save_packed(path: str, hr: np.ndarray, timestamps=None,
@@ -324,6 +349,13 @@ class ClimexDataset:
             )
         else:
             hr = self._load_netcdf(datadir, megafile)
+            if timestamps is None and getattr(
+                self, "_netcdf_timestamps", None
+            ) is not None:
+                # cyclic time features + float timestamps derived from the
+                # files' (noleap) time coordinate (src/climex_utils.py:116-120)
+                timestamps = self._netcdf_timestamps
+                timestamps_float = self._netcdf_timestamps_float
 
         # optional edge-padding of H/W to pooling multiples — needed for
         # full-domain work (ClimEx 280 is not divisible by scale 16);

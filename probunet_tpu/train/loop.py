@@ -292,6 +292,7 @@ class Trainer:
             seed=cfg.train.seed,
             lr=cfg.train.lr,
             weight_decay=cfg.train.weight_decay,
+            accum=cfg.train.accum,
         )
         if mesh is not None:
             # data-parallel jitted steps over the mesh (SURVEY.md §2.5 P1);
@@ -375,6 +376,8 @@ class Trainer:
         """Prior-ensemble HR fields for a few items:
         (samples (B, M, H, W, C), hr, lrinterp) — the per-epoch sanity
         sampling of reference src/train_prob_unet_model.py:213-305."""
+        from probunet_tpu.data.climex import lrinterp_from_batch
+
         ds = dataset or self.dataset_val or self.dataset_train
         idx = np.arange(num_items)
         batch = ds.preprocess(jnp.asarray(ds.get_hr_batch(idx)))
@@ -383,11 +386,12 @@ class Trainer:
             num_samples=num_samples, method=type(self.model).sample,
             rngs={"latent": jax.random.key(seed)},
         )
-        hr_pred = ds.residual_to_hr(
-            out, batch["lrinterp"][:, None],
-            item_stats=batch.get("stand_stats"),
-        )
-        return hr_pred, batch["hr"], batch["lrinterp"], out, batch["targets"]
+        lrinterp = lrinterp_from_batch(batch, ds.lowres_scale, ds.interp_mode)
+        ist = batch.get("stand_stats")
+        if ist is not None:  # add the member axis for (B, M, H, W, C) outputs
+            ist = jax.tree.map(lambda a: a[:, None], ist)
+        hr_pred = ds.residual_to_hr(out, lrinterp[:, None], item_stats=ist)
+        return hr_pred, batch["hr"], lrinterp, out, batch["targets"]
 
     def save_sample_plots(self, epoch: int):
         """Per-epoch ensemble / residual-difference figures

@@ -48,6 +48,52 @@ def test_modes_roundtrip(hr_and_stats, mode):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("pipeline", ["lr_to_hr", "lr_to_residuals",
+                                      "lrinterp_to_residuals",
+                                      "lrinterp_to_hr"])
+@pytest.mark.parametrize("mode", ["none", "perpixel", "pertimestep", "minmax"])
+def test_all_pipelines_roundtrip(hr_and_stats, pipeline, mode):
+    """residual_to_hr(preprocess(hr).targets) == hr for every pipeline x
+    standardization combination where the inversion is exact.
+
+    The *_to_hr pipelines must NOT re-add lrinterp (the model output IS the
+    standardized HR field — adding the baseline on top double-counts it).
+    lr_to_residuals standardizes LR with LR-space stats, so only modes whose
+    LR stats lift exactly to the HR grid (perpixel/minmax via
+    repeat_interleave + nearest upsampling, and none) invert exactly;
+    pertimestep there mixes the LR field's own stats with the HR item stats
+    and has no exact inverse — skipped, as in the reference (its baseline
+    stack only ever inverts the lrinterp residual pipeline,
+    src/baseline/climex_utils.py:208-212).
+    """
+    if pipeline == "lr_to_residuals" and mode == "pertimestep":
+        pytest.skip("no exact inverse (LR-space vs item stats mismatch)")
+    hr, stats = hr_and_stats
+    batch = preprocess_batch(hr, stats, pipeline, 4, interp_mode="nearest",
+                             standardization=mode)
+    from probunet_tpu.data.climex import lrinterp_from_batch
+
+    lrinterp = lrinterp_from_batch(batch, 4, "nearest")
+    rec = residual_to_hr(batch["targets"], lrinterp, stats, pipeline,
+                         standardization=mode,
+                         item_stats=batch.get("stand_stats"))
+    assert rec.shape == hr.shape
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(hr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_to_hr_pipeline_does_not_double_count_baseline(hr_and_stats):
+    """Regression: residual_to_hr for lrinterp_to_hr used to add lrinterp on
+    top of the already-mean-restored field."""
+    hr, stats = hr_and_stats
+    batch = preprocess_batch(hr, stats, "lrinterp_to_hr", 4)
+    rec = residual_to_hr(batch["targets"], batch["lrinterp"], stats,
+                         "lrinterp_to_hr")
+    err_fixed = float(jnp.abs(rec - hr).mean())
+    err_double = float(jnp.abs(rec + batch["lrinterp"] - hr).mean())
+    assert err_fixed < 1e-3 < err_double
+
+
 def test_minmax_inputs_in_unit_range(hr_and_stats):
     hr, stats = hr_and_stats
     batch = preprocess_batch(hr, stats, "lr_to_hr", 4, standardization="minmax")
