@@ -28,14 +28,25 @@ class TrainState(train_state.TrainState):
 
 
 def make_optimizer(
-    lr: float = 1e-4, weight_decay: float = 0.01, grad_clip: float = 0.0
+    lr: float = 1e-4, weight_decay: float = 0.01, grad_clip: float = 0.0,
+    accum: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW with torch-default hyperparameters (betas 0.9/0.999, eps 1e-8,
     weight_decay 0.01 — the reference uses torch.optim.AdamW defaults,
-    src/train_prob_unet_model.py:53, src/main.py:103)."""
+    src/train_prob_unet_model.py:53, src/main.py:103).
+
+    ``accum > 1`` wraps the transform in :class:`optax.MultiSteps`: gradients
+    of `accum` micro-batches are averaged before one AdamW update (the
+    reference's --accum semantics, src/trainmodel.py:180-181), so effective
+    batch ``accum * batch_size`` trains in the HBM footprint of ONE
+    micro-batch — e.g. effective bs=512 at M=15 on a 16 GB chip, where a
+    single bs=256 step already OOMs.
+    """
     tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx
 
 
@@ -47,6 +58,7 @@ def create_train_state(
     lr: float = 1e-4,
     weight_decay: float = 0.01,
     grad_clip: float = 0.0,
+    accum: int = 1,
     init_method=None,
 ) -> TrainState:
     """Initialize parameters and optimizer for a ProbabilisticUNet-style model."""
@@ -68,6 +80,6 @@ def create_train_state(
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        tx=make_optimizer(lr, weight_decay, grad_clip),
+        tx=make_optimizer(lr, weight_decay, grad_clip, accum),
         rng=state_key,
     )

@@ -150,6 +150,22 @@ class TestEndToEnd:
         _, m2 = step(state, hr, stats, b, z)
         assert float(m1["loss"]) == float(m2["loss"])
 
+    @pytest.mark.parametrize("pipeline", ["lrinterp_to_residuals",
+                                          "lrinterp_to_hr"])
+    def test_sample_ensemble_pipelines(self, pipeline):
+        """sample_ensemble must work for every HR-resolution pipeline (it
+        used to KeyError on batches without "lrinterp" and double-count the
+        baseline for *_to_hr)."""
+        cfg = _tiny_cfg()
+        cfg.data.pipeline = pipeline
+        model = _tiny_model(cfg)
+        ds = _tiny_dataset(cfg)
+        trainer = Trainer(cfg, model, ds)
+        hr_pred, hr, lrinterp, out, tgt = trainer.sample_ensemble(
+            num_items=2, num_samples=2)
+        assert hr_pred.shape == (2, 2, 32, 32, 2)
+        assert np.isfinite(np.asarray(hr_pred)).all()
+
     def test_deterministic_baseline_step(self):
         cfg = _tiny_cfg()
         model = LinearCNN(in_channels=2)
@@ -172,6 +188,59 @@ class TestEndToEnd:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
         assert metrics["loss_per_var"].shape == (2,)
+
+
+class TestGradAccumulation:
+    def test_accum_k_matches_one_big_batch(self):
+        """k micro-steps at bs=b with accum=k produce the SAME parameter
+        update as one step at bs=k*b (the loss is a batch mean, so the
+        averaged micro-gradients equal the big-batch gradient). This is the
+        reference's --accum semantics (src/trainmodel.py:180-181)."""
+        cfg = _tiny_cfg()
+        ds = _tiny_dataset(cfg)
+        model = LinearCNN(in_channels=2)
+        x = jnp.zeros((4, 32, 32, 2))
+        variables = model.init({"params": jax.random.key(0)}, x)
+        from probunet_tpu.train.state import TrainState, make_optimizer
+
+        stats = jax.tree.map(jnp.asarray, ds.stats)
+        hr = jnp.asarray(ds.get_hr_batch(np.arange(16)))
+        k, b = 4, 4
+        step = make_deterministic_train_step(model, cfg, donate=False)
+
+        s_big = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            tx=make_optimizer(1e-3), rng=jax.random.key(1),
+        )
+        s_big, _ = step(s_big, hr, stats)
+
+        s_acc = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            tx=make_optimizer(1e-3, accum=k), rng=jax.random.key(1),
+        )
+        for i in range(k):
+            s_acc, _ = step(s_acc, hr[i * b:(i + 1) * b], stats)
+            if i < k - 1:
+                # params must not move until the k-th micro-batch
+                jax.tree.map(
+                    lambda a, c: np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(c)),
+                    s_acc.params, variables["params"],
+                )
+        jax.tree.map(
+            lambda a, c: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6),
+            s_big.params, s_acc.params,
+        )
+
+    def test_trainer_accum_smoke(self):
+        cfg = _tiny_cfg()
+        cfg.train.accum = 2
+        model = _tiny_model(cfg)
+        trainer = Trainer(cfg, model, _tiny_dataset(cfg))
+        hist = trainer.fit(num_epochs=2)
+        assert np.isfinite(hist["train_crps"]).all()
+        assert hist["train_crps"][-1] < hist["train_crps"][0]
 
 
 class TestCheckpoint:
