@@ -10,6 +10,10 @@ longer accepts, src/deterministic_unet_main.py:42-44):
     python -m probunet_tpu train-det    --preset deterministic_64
     python -m probunet_tpu explore      --ckpt ... [--posterior|--single]
     python -m probunet_tpu evaluate     --ckpt ... --members 16
+    python -m probunet_tpu extremes     --ckpt ... --pixels 20,45
+    python -m probunet_tpu infer-domain --preset fulldomain_dp8
+    python -m probunet_tpu sweep        --grid train.batch_size=16,32
+    python -m probunet_tpu pack         --split train --out train.npz
     python -m probunet_tpu bench
 
 Config = named preset + dotted overrides (--set train.lr=3e-4), the typed
@@ -51,6 +55,9 @@ def build_config(args) -> Config:
 def make_datasets(cfg: Config):
     from probunet_tpu.data.climex import ClimexDataset
 
+    packed = (cfg.data.packed_train, cfg.data.packed_val,
+              cfg.data.packed_test)
+
     def mk(years, split_idx):
         return ClimexDataset(
             datadir=cfg.data.datadir or None,
@@ -68,6 +75,9 @@ def make_datasets(cfg: Config):
             # train == test and every score degenerate)
             synthetic_seed=cfg.data.synthetic_seed + split_idx,
             standardization=cfg.data.standardization,
+            # packed artifacts (from `probunet_tpu pack`) win over the
+            # other sources: memory-mapped, O(1) construction
+            packed=packed[split_idx] or None,
         )
 
     return (mk(cfg.data.years_train, 0), mk(cfg.data.years_val, 1),
@@ -92,6 +102,7 @@ def make_model(cfg: Config):
         dropout=cfg.model.dropout,
         dtype=dtype,
         use_pallas_fcomb=cfg.model.use_pallas_fcomb,
+        use_pallas_gn=cfg.model.use_pallas_gn,
         remat=cfg.train.remat,
     )
 
@@ -232,12 +243,17 @@ def cmd_train_det(args):
     # baseline/main.py:113-117 final MAE report)
     from probunet_tpu.data.transforms import invert_physical_transform
 
+    from probunet_tpu.data.climex import lrinterp_from_batch
+
     @jax.jit
     def predict_hr(params, hr_batch):
         batch = ds_test.preprocess(hr_batch)
         pred = model.apply({"params": params}, batch["inputs"], train=False)
         hr_pred = ds_test.residual_to_hr(
-            pred, batch["lrinterp"], item_stats=batch.get("stand_stats")
+            pred,
+            lrinterp_from_batch(batch, cfg.data.lowres_scale,
+                                cfg.data.interp_mode),
+            item_stats=batch.get("stand_stats"),
         )
         gt = batch["hr"]
         if cfg.data.transfo:
@@ -353,9 +369,15 @@ def cmd_evaluate(args):
         out = model.apply({"params": params}, batch["inputs"], num_samples=m,
                           method=ProbabilisticUNet.sample,
                           rngs={"latent": key})  # (B, M, H, W, K)
-        from probunet_tpu.data.climex import residual_to_hr
-        hr_pred = residual_to_hr(out, batch["lrinterp"][:, None], stats,
-                                 ds_test.pipeline, cfg.data.epsilon)
+        from probunet_tpu.data.climex import lrinterp_from_batch, residual_to_hr
+        lrinterp = lrinterp_from_batch(batch, cfg.data.lowres_scale,
+                                       cfg.data.interp_mode)
+        ist = batch.get("stand_stats")
+        if ist is not None:  # add the member axis for (B, M, H, W, C) outputs
+            ist = jax.tree.map(lambda a: a[:, None], ist)
+        hr_pred = residual_to_hr(out, lrinterp[:, None], stats,
+                                 ds_test.pipeline, cfg.data.epsilon,
+                                 cfg.data.standardization, ist)
         gt = batch["hr"]
         if cfg.data.transfo:
             # metrics are reported in REAL units, inverting the softplus
@@ -393,12 +415,19 @@ def cmd_evaluate(args):
         os.makedirs(args.outdir, exist_ok=True)
         with open(os.path.join(args.outdir, "eval.json"), "w") as f:
             json.dump(out, f, indent=2)
-        from probunet_tpu.utils.plotting import plot_psd
+        from probunet_tpu.utils.plotting import plot_histograms, plot_psd
         psd_gt = psd_over_dataset(gt)
         psd_model = psd_over_dataset(ens.mean(axis=1))
         plot_psd({"gt": psd_gt, "model": psd_model},
                  variables=cfg.data.variables,
                  save_path=os.path.join(args.outdir, "psd.png"))
+        # distribution-fidelity figure: pooled pixel-value log-histograms of
+        # GT vs the model ensemble (results.ipynb cell 15)
+        from probunet_tpu.evals.histograms import compare_histograms
+        hist = compare_histograms(gt, {"model": ens},
+                                  variables=cfg.data.variables)
+        plot_histograms(hist,
+                        save_path=os.path.join(args.outdir, "histograms.png"))
 
 
 def cmd_infer_domain(args):
@@ -412,7 +441,7 @@ def cmd_infer_domain(args):
     import jax.numpy as jnp
 
     from probunet_tpu.data.climex import (
-        Standardization, preprocess_batch, residual_to_hr,
+        Standardization, lrinterp_from_batch, preprocess_batch, residual_to_hr,
     )
     from probunet_tpu.evals import compute_mae, crps_over_groundtruth
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
@@ -489,9 +518,13 @@ def cmd_infer_domain(args):
         st_b = jax.tree.map(
             lambda a: a[:, None] if a is not None else a, st
         )
-        return residual_to_hr(out, batch["lrinterp"][:, None], st_b,
+        lrinterp = lrinterp_from_batch(batch, k, cfg.data.interp_mode)
+        ist = batch.get("stand_stats")
+        if ist is not None:  # member axis for (B, M, H, W, C) outputs
+            ist = jax.tree.map(lambda a: a[:, None], ist)
+        return residual_to_hr(out, lrinterp[:, None], st_b,
                               cfg.data.pipeline, cfg.data.epsilon,
-                              cfg.data.standardization)
+                              cfg.data.standardization, ist)
 
     bs = args.batch_tiles
     outs = []
@@ -533,6 +566,133 @@ def cmd_infer_domain(args):
         print(f"plotting skipped: {e}")
 
 
+def cmd_extremes(args):
+    """Observed-vs-model return-level comparison, end to end: trained ckpt
+    -> batched daily per-pixel ensembles over the test years -> annual block
+    maxima -> GEV fit + parametric bootstrap CI -> observed-vs-model curves
+    + JSON (the deliverable of reference test_return_levels.ipynb cells 2-15
+    and compare_observed_vs_model_return_levels.ipynb cells 7-21).
+
+    The reference's hot loop is 10,950 x M batch-size-1 forwards
+    (SURVEY.md §3.5); here every day rides the device batch and the M
+    members are decoded by one vmapped fcomb pass per batch; only the
+    requested pixel values return to host.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from probunet_tpu.data.climex import lrinterp_from_batch, residual_to_hr
+    from probunet_tpu.data.loader import Batches
+    from probunet_tpu.evals import model_ensemble_analysis, return_level_analysis
+    from probunet_tpu.models.prob_unet import ProbabilisticUNet
+    from probunet_tpu.train.checkpoint import CheckpointManager
+
+    cfg = build_config(args)
+    os.makedirs(args.outdir, exist_ok=True)
+    _, _, ds_test = make_datasets(cfg)
+    model = make_model(cfg)
+    res = cfg.data.resolution
+    x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+    )["params"]
+    if args.ckpt:
+        params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
+
+    pixels = [tuple(int(v) for v in p.split(",")) for p in args.pixels]
+    var_idx = list(cfg.data.variables).index(args.var)
+    ys = jnp.asarray([p[0] for p in pixels])
+    xs = jnp.asarray([p[1] for p in pixels])
+    stats = jax.tree.map(jnp.asarray, ds_test.stats)
+    m = args.members
+
+    @jax.jit
+    def sample_pixels(hr_batch, key):
+        batch = ds_test.preprocess(hr_batch)
+        out = model.apply({"params": params}, batch["inputs"], num_samples=m,
+                          method=ProbabilisticUNet.sample,
+                          rngs={"latent": key})  # (B, M, H, W, C)
+        lrinterp = lrinterp_from_batch(batch, cfg.data.lowres_scale,
+                                       cfg.data.interp_mode)
+        ist = batch.get("stand_stats")
+        if ist is not None:
+            ist = jax.tree.map(lambda a: a[:, None], ist)
+        hr_pred = residual_to_hr(out, lrinterp[:, None], stats,
+                                 ds_test.pipeline, cfg.data.epsilon,
+                                 cfg.data.standardization, ist)
+        gt = batch["hr"]
+        if cfg.data.transfo:
+            # extremes are physical-units statements (mm/day); invert the
+            # softplus storage transforms before extracting pixels
+            from probunet_tpu.data.transforms import invert_physical_transform
+            hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
+            gt = invert_physical_transform(gt, cfg.data.variables)
+        return hr_pred[:, :, ys, xs, var_idx], gt[:, ys, xs, var_idx]
+
+    days = len(ds_test) if not args.days else min(args.days, len(ds_test))
+    model_vals, gt_vals = [], []
+    key = jax.random.key(cfg.train.seed)
+    for i, idx in enumerate(Batches(days, args.batch_size)):
+        mv, gv = sample_pixels(jnp.asarray(ds_test.get_hr_batch(idx)),
+                               jax.random.fold_in(key, i))
+        model_vals.append(np.asarray(mv))
+        gt_vals.append(np.asarray(gv))
+    model_series = np.concatenate(model_vals)  # (T, M, P)
+    gt_series = np.concatenate(gt_vals)        # (T, P)
+
+    periods = tuple(args.return_periods)
+    results = {}
+    for pi, (py, px) in enumerate(pixels):
+        obs = return_level_analysis(
+            gt_series[:, pi], periods, args.days_per_year,
+            n_boot=args.n_boot, seed=cfg.train.seed,
+        )
+        mod = model_ensemble_analysis(
+            model_series[:, :, pi], periods, args.days_per_year,
+            n_boot=args.n_boot, seed=cfg.train.seed,
+        )
+        name = f"pixel_{py}_{px}"
+        results[name] = {
+            "pixel": [py, px],
+            "observed": {
+                "gev_fit": list(obs["fit"]),
+                "return_levels": obs["return_levels"].tolist(),
+                "ci_lower": obs["bootstrap"]["lower"].tolist(),
+                "ci_upper": obs["bootstrap"]["upper"].tolist(),
+                "bootstrap_valid": obs["bootstrap"]["n_valid"],
+                "bootstrap_failed": obs["bootstrap"]["n_failed"],
+            },
+            "model": {
+                "gev_fit": list(mod["fit"]),
+                "return_levels": mod["return_levels"].tolist(),
+                "ci_lower": mod["bootstrap"]["lower"].tolist(),
+                "ci_upper": mod["bootstrap"]["upper"].tolist(),
+                "bootstrap_valid": mod["bootstrap"]["n_valid"],
+                "bootstrap_failed": mod["bootstrap"]["n_failed"],
+                # the reference's known-deficiency diagnostic: where the
+                # model's empirical maxima top out (plateau ~75 mm/day in
+                # test_return_levels.ipynb cell 10)
+                "empirical_plateau": float(mod["empirical_levels"].max()),
+            },
+        }
+        try:
+            from probunet_tpu.utils.plotting import plot_return_levels
+            plot_return_levels(
+                mod, observed_analysis=obs, label="model",
+                save_path=os.path.join(args.outdir,
+                                       f"return_levels_{name}.png"),
+            )
+        except Exception as e:
+            print(f"plotting skipped for {name}: {e}")
+
+    out = {"variable": args.var, "members": m, "days": int(days),
+           "days_per_year": args.days_per_year,
+           "return_periods": list(periods), "pixels": results}
+    with open(os.path.join(args.outdir, "extremes.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 def cmd_pack(args):
     """One-time NetCDF -> packed-array conversion (SURVEY.md §7 row 1): the
     training loop then memory-maps the artifact instead of re-running the
@@ -556,6 +716,44 @@ def cmd_pack(args):
     )
     save_packed(args.out, ds.hr, ds.timestamps, ds.timestamps_float)
     print(json.dumps({"packed": args.out, "shape": list(ds.hr.shape)}))
+
+
+def cmd_sweep(args):
+    """Hyperparameter grid sweep (reference sweeps.yaml:1-14 semantics —
+    wandb grid over dotted config keys, ranked by final val loss). The spec
+    is a JSON file {"dotted.key": [values...]} or inline --grid pairs
+    key=v1,v2,..."""
+    from probunet_tpu.sweep import run_sweep
+
+    cfg = build_config(args)
+    if args.spec:
+        with open(args.spec) as f:
+            spec = json.load(f)
+    else:
+        spec = {}
+        for pair in args.grid or []:
+            key, _, vals = pair.partition("=")
+            spec[key] = [json.loads(v) if _is_json(v) else v
+                         for v in vals.split(",")]
+    if not spec:
+        raise SystemExit("sweep needs --spec FILE or --grid key=v1,v2,...")
+
+    results = run_sweep(cfg, spec, metric=args.metric,
+                        num_epochs=args.epochs or None)
+    os.makedirs(args.outdir, exist_ok=True)
+    summary = [{"overrides": r["overrides"], args.metric: r[args.metric]}
+               for r in results]
+    with open(os.path.join(args.outdir, "sweep.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"best": summary[0], "points": len(summary)}))
+
+
+def _is_json(s: str) -> bool:
+    try:
+        json.loads(s)
+        return True
+    except json.JSONDecodeError:
+        return False
 
 
 def cmd_bench(args):
@@ -627,12 +825,40 @@ def main(argv=None):
     sp.add_argument("--batch-tiles", type=int, default=16)
     sp.set_defaults(fn=cmd_infer_domain)
 
+    sp = sub.add_parser("extremes",
+                        help="observed-vs-model GEV return-level comparison")
+    common(sp)
+    sp.add_argument("--ckpt", default=None)
+    sp.add_argument("--var", default="pr")
+    sp.add_argument("--pixels", nargs="+", default=["20,45"],
+                    help="pixel coords y,x (repeatable)")
+    sp.add_argument("--members", type=int, default=8)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--days", type=int, default=0,
+                    help="limit test days (0 = all test years)")
+    sp.add_argument("--days-per-year", type=int, default=365)
+    sp.add_argument("--n-boot", type=int, default=1000)
+    sp.add_argument("--return-periods", type=int, nargs="+",
+                    default=[2, 5, 10, 20, 50, 100])
+    sp.set_defaults(fn=cmd_extremes)
+
     sp = sub.add_parser("pack", help="NetCDF -> packed-array conversion")
     common(sp)
     sp.add_argument("--split", choices=("train", "val", "test"),
                     default="train")
     sp.add_argument("--out", required=True, help="output .npz path")
     sp.set_defaults(fn=cmd_pack)
+
+    sp = sub.add_parser("sweep", help="hyperparameter grid sweep")
+    common(sp)
+    sp.add_argument("--spec", default=None,
+                    help="JSON file {dotted.key: [values...]}")
+    sp.add_argument("--grid", nargs="*", default=[],
+                    help="inline grid key=v1,v2,...")
+    sp.add_argument("--metric", default="val_crps")
+    sp.add_argument("--epochs", type=int, default=0,
+                    help="override epochs per sweep point (0 = config value)")
+    sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser("bench", help="headline benchmark")
     sp.set_defaults(fn=cmd_bench)

@@ -47,6 +47,11 @@ class DataConfig:
     # (reference src/baseline/climex_utils.py:140-153)
     standardization: str = "perpixel"
     megafile: str | None = None
+    # packed-array artifacts from `probunet_tpu pack` (one per split);
+    # non-empty paths take precedence over datadir/synthetic sources
+    packed_train: str = ""
+    packed_val: str = ""
+    packed_test: str = ""
     epsilon: float = 1e-10  # standardization epsilon (src/climex_utils.py:86)
     # synthetic-data mode for CI/bench when no NetCDF files are available
     synthetic: bool = False
@@ -78,6 +83,8 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # route the Fcomb ensemble decode through the fused Pallas kernel
     use_pallas_fcomb: bool = False
+    # fuse each UNetBlock's GN+SiLU pair into the Pallas kernel (TPU only)
+    use_pallas_gn: bool = False
 
 
 @dataclass
@@ -114,6 +121,13 @@ class TrainConfig:
     weight_decay: float = 0.01  # AdamW default (torch.optim.AdamW)
     ensemble_size: int = 15     # M posterior draws in the ELBO (src/main.py:136)
     eval_ensemble_size: int = 5  # M for eval (src/main.py:162)
+    # gradient accumulation: optimizer updates every `accum` micro-batches
+    # (effective batch = accum * batch_size). The reference exposes
+    # --accum (default 8, src/trainmodel.py:39, train_prob_unet_model.py:52)
+    # but only its commented-out AMP path consumes it
+    # (src/trainmodel.py:180-181) — the active path updates every batch,
+    # so the behavior-matching default here is 1.
+    accum: int = 1
     seed: int = 42
     # memory/perf knobs
     remat: bool = False          # jax.checkpoint the U-Net encoder/decoder
@@ -237,9 +251,18 @@ def preset(name: str) -> Config:
         c.train.eval_ensemble_size = 16
         return c
     if name == "fulldomain_dp8":
+        # BASELINE config 5: full ClimEx domain (280x280, the native grid —
+        # reference src/baseline/climex_utils.py EDA operates on it), tiled
+        # into 128x128 windows for inference, 32-member ensembles,
+        # data-parallel over all (8) chips. Drive with
+        # `infer-domain --preset fulldomain_dp8` (tiled inference; training
+        # itself stays on 128x128 windows — use `train --dp -1` for that).
         c = Config()
-        c.parallel.data_axis = 0
+        c.data.coords = (0, 280, 0, 280)       # full domain crop window
+        c.data.resolution = (128, 128)         # tile size fed to the model
+        c.parallel.data_axis = 0               # 0 = all devices on "data"
         c.train.ensemble_size = 32
+        c.train.eval_ensemble_size = 32
         return c
     raise ValueError(f"Unknown preset: {name!r}")
 

@@ -21,6 +21,8 @@ from probunet_tpu.evals.gev import (
     gev_parametric_bootstrap,
     gev_return_level,
     get_empirical_return_periods,
+    model_ensemble_analysis,
+    return_level_analysis,
 )
 from probunet_tpu.evals.weights import weight_function_analysis
 
@@ -38,5 +40,7 @@ __all__ = [
     "gev_return_level",
     "gev_parametric_bootstrap",
     "get_empirical_return_periods",
+    "model_ensemble_analysis",
+    "return_level_analysis",
     "weight_function_analysis",
 ]

@@ -131,6 +131,48 @@ def get_empirical_return_periods(block_maxima: np.ndarray):
     return (n + 1) / ranks, bm
 
 
+def model_ensemble_analysis(
+    daily_ensemble: np.ndarray,
+    return_periods=(2, 5, 10, 20, 50, 100),
+    days_per_year: int = 365,
+    n_boot: int = 1000,
+    ci: float = 0.95,
+    seed: int = 0,
+) -> dict:
+    """Return-level analysis of a MODEL ensemble's daily pixel series
+    (the test_return_levels.ipynb cells 2-10 / compare_observed_vs_model_
+    return_levels.ipynb cells 7-21 pipeline).
+
+    daily_ensemble: (T, M) — M ensemble members' daily values at one pixel.
+    Annual block maxima are taken per member and pooled (M members x
+    n_years maxima = M independent realizations of each year's maximum),
+    then GEV-fit with bootstrap CI. The pooled empirical maxima are what
+    exposes the reference's known deficiency (model pr maxima plateau
+    ~75 mm/day below the observed GEV curve,
+    test_return_levels.ipynb cell 10).
+    """
+    arr = np.asarray(daily_ensemble)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (T, M) ensemble, got {arr.shape}")
+    bm = compute_annual_block_maxima(arr, days_per_year)  # (n_years, M)
+    pooled = bm.reshape(-1)
+    fit = gev_fit(pooled)
+    levels = gev_return_level(fit, return_periods)
+    boot = gev_parametric_bootstrap(
+        fit, pooled.shape[0], return_periods, n_boot=n_boot, ci=ci, seed=seed
+    )
+    emp_t, emp_levels = get_empirical_return_periods(pooled)
+    return {
+        "fit": fit,
+        "return_periods": np.asarray(return_periods, dtype=np.float64),
+        "return_levels": levels,
+        "bootstrap": boot,
+        "empirical_return_periods": emp_t,
+        "empirical_levels": emp_levels,
+        "block_maxima": bm,
+    }
+
+
 def return_level_analysis(
     daily_series: np.ndarray,
     return_periods=(2, 5, 10, 20, 50, 100),

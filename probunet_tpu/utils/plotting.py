@@ -249,6 +249,34 @@ def plot_psd(
     return _save(fig, save_path)
 
 
+def plot_histograms(
+    hist_dict: dict,
+    save_path: str | None = None,
+):
+    """Pooled pixel-value log-frequency histograms, GT vs model variants
+    (results.ipynb cell 15). ``hist_dict`` is
+    :func:`probunet_tpu.evals.histograms.compare_histograms` output:
+    {var: {"bins": centers, "gt": log_counts, name: log_counts, ...}}."""
+    variables = list(hist_dict)
+    fig, axes = plt.subplots(1, len(variables),
+                             figsize=(4.5 * len(variables), 4), squeeze=False)
+    for ci, var in enumerate(variables):
+        entry = hist_dict[var]
+        bins = np.asarray(entry["bins"])
+        ax = axes[0, ci]
+        for name, logc in entry.items():
+            if name == "bins":
+                continue
+            ax.plot(bins, np.asarray(logc), label=name,
+                    lw=2 if name == "gt" else 1)
+        ax.set_title(var)
+        ax.set_xlabel("value")
+        ax.legend(fontsize=7)
+    axes[0, 0].set_ylabel("log10 frequency")
+    fig.tight_layout()
+    return _save(fig, save_path)
+
+
 def plot_return_levels(
     analysis: dict,
     observed_analysis: dict | None = None,

@@ -45,3 +45,55 @@ def test_cli_train_evaluate_roundtrip(tmp_path, capsys):
 def test_cli_unknown_override_message():
     with pytest.raises(KeyError, match="Unknown config key"):
         main(["train", "--set", "nope.x=1"])
+
+
+def test_cli_extremes(tmp_path, capsys):
+    """End-to-end observed-vs-model return levels on synthetic data
+    (test_return_levels.ipynb cells 2-15 shape). days_per_year=30 turns one
+    synthetic year into 12 'years' of block maxima so the GEV fit has
+    enough points at smoke-test cost."""
+    out = str(tmp_path / "ext")
+    main(["extremes", "--preset", "probunet_latent6_64", "--outdir", out,
+          "--pixels", "3,4", "8,8", "--members", "3", "--batch-size", "64",
+          "--days", "360", "--days-per-year", "30", "--n-boot", "25",
+          "--return-periods", "2", "5", "10"] + TINY)
+    printed = capsys.readouterr().out
+    res = json.loads(
+        [ln for ln in printed.splitlines() if '"pixels"' in ln][-1]
+    )
+    assert set(res["pixels"]) == {"pixel_3_4", "pixel_8_8"}
+    p = res["pixels"]["pixel_3_4"]
+    assert len(p["observed"]["gev_fit"]) == 3           # (shape, loc, scale)
+    assert len(p["model"]["return_levels"]) == 3
+    assert p["model"]["bootstrap_valid"] > 0
+    assert p["model"]["empirical_plateau"] > 0
+    assert os.path.exists(os.path.join(out, "extremes.json"))
+
+
+def test_cli_pack_feeds_train(tmp_path, capsys):
+    """pack -> packed .npz -> train consumes it via data.packed_train."""
+    pk = str(tmp_path / "train.npz")
+    main(["pack", "--preset", "probunet_latent6_64", "--split", "train",
+          "--out", pk] + TINY)
+    printed = capsys.readouterr().out
+    assert json.loads([ln for ln in printed.splitlines()
+                       if '"packed"' in ln][-1])["shape"][0] == 365
+    out = str(tmp_path / "run")
+    main(["train", "--preset", "probunet_latent6_64", "--outdir", out]
+         + TINY + [f"data.packed_train={pk}"])
+    printed = capsys.readouterr().out
+    assert '"final"' in printed
+
+
+def test_cli_sweep(tmp_path, capsys):
+    out = str(tmp_path / "sweep")
+    main(["sweep", "--preset", "probunet_latent6_64", "--outdir", out,
+          "--grid", "train.lr=0.001,0.0001", "--epochs", "1"] + TINY)
+    printed = capsys.readouterr().out
+    res = json.loads(
+        [ln for ln in printed.splitlines() if '"best"' in ln][-1]
+    )
+    assert res["points"] == 2
+    assert "train.lr" in res["best"]["overrides"]
+    with open(os.path.join(out, "sweep.json")) as f:
+        assert len(json.load(f)) == 2
