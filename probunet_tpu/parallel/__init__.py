@@ -11,7 +11,10 @@ src/train_prob_unet_model.py:62; no torch.distributed anywhere — SURVEY.md
   shardings);
 - :mod:`spatial` — spatial-domain parallelism: halo exchange via
   ``shard_map`` + ``lax.ppermute`` and full-ClimEx-domain tiled ensemble
-  inference (the CP-equivalent for a convolutional model, SURVEY.md §5).
+  inference (the CP-equivalent for a convolutional model, SURVEY.md §5);
+- :mod:`tensor_parallel` — channel-sharded convolution pair over a
+  ("data", "model") mesh (the P2 capability demo: Megatron column/row
+  parallelism, conv edition, with GSPMD-derived collectives).
 """
 
 from probunet_tpu.parallel.mesh import (
@@ -36,6 +39,13 @@ from probunet_tpu.parallel.multihost import (
     initialize,
     process_local_indices,
 )
+from probunet_tpu.parallel.tensor_parallel import (
+    channel_sharded_block,
+    init_channel_sharded_params,
+    make_channel_sharded_apply,
+    make_dp_tp_mesh,
+    shard_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -52,4 +62,9 @@ __all__ = [
     "initialize",
     "global_batch",
     "process_local_indices",
+    "make_dp_tp_mesh",
+    "init_channel_sharded_params",
+    "shard_params",
+    "channel_sharded_block",
+    "make_channel_sharded_apply",
 ]

@@ -223,3 +223,51 @@ def test_trainer_with_mesh_matches_single_device():
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_channel_sharded_conv_matches_unsharded():
+    """P2 tensor parallelism (SURVEY.md §2.5): Cmid channel-sharded conv
+    pair over a ("data", "model") mesh is bit-comparable to the single-device
+    computation, weights are REALLY sharded (each device holds Cmid/n_model
+    output channels of w1), and the contraction inserts the all-reduce."""
+    from probunet_tpu.parallel import (
+        channel_sharded_block, init_channel_sharded_params,
+        make_channel_sharded_apply, make_dp_tp_mesh, shard_params,
+    )
+
+    mesh = make_dp_tp_mesh(n_model=4)  # 2 data x 4 model on the 8-CPU farm
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+
+    c_in, c_mid, c_out = 3, 32, 5
+    params = init_channel_sharded_params(jax.random.key(0), c_in, c_mid, c_out)
+    x = jax.random.normal(jax.random.key(1), (8, 16, 16, c_in), jnp.float32)
+
+    ref = channel_sharded_block(params, x)  # unsharded oracle
+
+    p_sh = shard_params(params, mesh)
+    w1_shard = p_sh["w1"].addressable_shards[0]
+    assert w1_shard.data.shape == (3, 3, c_in, c_mid // 4)
+
+    apply = make_channel_sharded_apply(mesh)
+    out = apply(p_sh, x)
+    assert out.shape == (8, 16, 16, c_out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process smoke of the multi-host input path: contiguous slab
+    indexing + make_array_from_process_local_data onto the mesh."""
+    from probunet_tpu.parallel import global_batch, process_local_indices
+
+    idx = np.arange(16)
+    local = process_local_indices(idx)
+    # one process here: the local slab IS the global batch
+    np.testing.assert_array_equal(local, idx)
+
+    mesh = make_mesh()
+    batch = np.arange(16 * 4 * 4 * 2, dtype=np.float32).reshape(16, 4, 4, 2)
+    arr = global_batch(batch[local], mesh)
+    assert arr.shape == (16, 4, 4, 2)
+    assert len(arr.addressable_shards) == 8  # batch sharded over "data"
+    np.testing.assert_array_equal(np.asarray(arr), batch)
