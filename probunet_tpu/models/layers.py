@@ -152,18 +152,46 @@ class EDMConv(nn.Module):
         return y.astype(x.dtype)
 
 
+class _GNParams(nn.Module):
+    """Bare GroupNorm scale/bias, param-tree-compatible with flax GroupNorm
+    (same child name "gn", same leaf names/shapes/initializers) so the
+    Pallas and XLA paths share checkpoints."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class EDMGroupNorm(nn.Module):
-    """GroupNorm with adaptive group count (reference src/networks.py:97-107)."""
+    """GroupNorm with adaptive group count (reference src/networks.py:97-107).
+
+    ``__call__(x, silu=True)`` fuses the SiLU that always follows GN on the
+    UNetBlock hot path; with ``use_pallas`` (and a TPU backend) that pair
+    runs as the single-VMEM-residency kernel in ops.pallas.groupnorm.
+    """
 
     num_groups: int = 32
     min_channels_per_group: int = 4
     eps: float = 1e-5
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, silu: bool = False):
         c = x.shape[-1]
         groups = min(self.num_groups, c // self.min_channels_per_group)
-        return nn.GroupNorm(num_groups=groups, epsilon=self.eps, name="gn")(x)
+        if (self.use_pallas and silu and not self.is_initializing()
+                and jax.default_backend() == "tpu"):
+            from probunet_tpu.ops.pallas.groupnorm import groupnorm_silu
+
+            scale, bias = _GNParams(c, name="gn")()
+            return groupnorm_silu(x, scale, bias, groups,
+                                  self.eps).astype(x.dtype)
+        y = nn.GroupNorm(num_groups=groups, epsilon=self.eps, name="gn")(x)
+        return nn.silu(y) if silu else y
 
 
 class PositionalEmbedding(nn.Module):
@@ -222,6 +250,8 @@ class UNetBlock(nn.Module):
     init_zero: Tuple[str, float, float] = INIT_ZERO
     init_attn: Optional[Tuple[str, float, float]] = None
     dtype: Any = None
+    # fuse the norm0 GN+SiLU pair into the Pallas kernel (TPU only)
+    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
@@ -238,11 +268,12 @@ class UNetBlock(nn.Module):
         )
 
         orig = x
-        x = EDMGroupNorm(eps=self.eps, name="norm0")(x)
+        x = EDMGroupNorm(eps=self.eps, name="norm0",
+                         use_pallas=self.use_pallas_gn)(x, silu=True)
         x = EDMConv(
             out, 3, up=self.up, down=self.down, init=self.init, dtype=self.dtype,
             name="conv0",
-        )(nn.silu(x))
+        )(x)
 
         params = EDMLinear(
             out * (2 if self.adaptive_scale else 1), init=self.init,

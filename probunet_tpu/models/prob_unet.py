@@ -65,6 +65,7 @@ class ProbabilisticUNet(nn.Module):
     dropout: float = 0.10
     dtype: Any = None
     use_pallas_fcomb: bool = False
+    use_pallas_gn: bool = False
     remat: bool = False
 
     def setup(self):
@@ -80,6 +81,7 @@ class ProbabilisticUNet(nn.Module):
             use_diffuse=False,
             dtype=self.dtype,
             remat=self.remat,
+            use_pallas_gn=self.use_pallas_gn,
         )
         self.prior = AxisAlignedConvGaussian(
             num_filters=tuple(self.num_filters),

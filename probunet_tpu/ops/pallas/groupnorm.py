@@ -53,6 +53,20 @@ def _kernel(x_ref, g_ref, gcount_ref, gamma_ref, beta_ref, out_ref, *, eps):
     out_ref[0] = y * jax.nn.sigmoid(y)  # SiLU
 
 
+def _groupnorm_silu_xla(x, gamma, beta, num_groups, eps=1e-5):
+    """XLA formulation (flax GroupNorm + silu numerics): the backward pass
+    and the numerical oracle for the kernel."""
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    xg = x.astype(jnp.float32).reshape(b, -1, num_groups, c // num_groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, -1, c) * gamma.astype(jnp.float32) + beta.astype(
+        jnp.float32)
+    return (y * jax.nn.sigmoid(y)).reshape(orig_shape)
+
+
 def groupnorm_silu(
     x: jax.Array,
     gamma: jax.Array,
@@ -64,7 +78,45 @@ def groupnorm_silu(
 
     x (B, S, C) or (B, H, W, C); gamma/beta (C,). Returns same shape/f32.
     Matches flax GroupNorm + silu numerics (the XLA oracle in tests).
+    Differentiable: forward is the Pallas kernel, backward the XLA
+    formulation (same pattern as ops.pallas.fcomb).
     """
+    return _raw(x, gamma, beta, num_groups, eps)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _raw(x, gamma, beta, num_groups, eps):
+    return _forward_kernel(x, gamma, beta, num_groups, eps)
+
+
+def _raw_fwd(x, gamma, beta, num_groups, eps):
+    return _forward_kernel(x, gamma, beta, num_groups, eps), (x, gamma, beta)
+
+
+def _raw_bwd(num_groups, eps, res, g):
+    # the primal (kernel) output is f32, as is the XLA formulation's; jax.vjp
+    # returns cotangents in the residuals' own dtypes
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda a, w, b: _groupnorm_silu_xla(a, w, b, num_groups, eps),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+_raw.defvjp(_raw_fwd, _raw_bwd)
+
+
+def _forward_kernel(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    num_groups: int,
+    eps: float = 1e-5,
+) -> jax.Array:
     orig_shape = x.shape
     if x.ndim == 4:
         b, h, w, c = x.shape

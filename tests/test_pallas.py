@@ -111,6 +111,51 @@ def test_groupnorm_silu_matches_flax():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_groupnorm_silu_grad_matches_oracle():
+    """The custom-vjp backward (XLA formulation) matches differentiating the
+    oracle directly — required for the in-model use_pallas_gn path."""
+    from probunet_tpu.ops.pallas.groupnorm import _groupnorm_silu_xla
+
+    b, s, c, groups = 2, 24, 16, 4
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    beta = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+
+    def loss_kernel(a, w, bb):
+        return (groupnorm_silu(a, w, bb, num_groups=groups) ** 2).sum()
+
+    def loss_oracle(a, w, bb):
+        return (_groupnorm_silu_xla(a, w, bb, groups) ** 2).sum()
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(x, gamma, beta)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(x, gamma, beta)
+    for a, b_ in zip(gk, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_unetblock_pallas_gn_param_tree_compatible():
+    """use_pallas_gn must not change the parameter tree (checkpoints are
+    interchangeable between the XLA and kernel paths)."""
+    from flax import linen as nn
+
+    from probunet_tpu.models.layers import UNetBlock
+
+    x = jnp.zeros((2, 8, 8, 16))
+    emb = jnp.zeros((2, 32))
+    # NB: UNetBlock's `init` FIELD (the EDM init-mode triple, mirroring the
+    # reference kwargs) shadows nn.Module.init — call the base method
+    p_off = nn.Module.init(
+        UNetBlock(out_channels=16), jax.random.key(0), x, emb)["params"]
+    p_on = nn.Module.init(
+        UNetBlock(out_channels=16, use_pallas_gn=True),
+        jax.random.key(0), x, emb)["params"]
+    assert jax.tree.structure(p_off) == jax.tree.structure(p_on)
+    jax.tree.map(lambda a, b_: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b_)), p_off, p_on)
+
+
 def test_groupnorm_silu_3d_input():
     b, s, c, groups = 3, 40, 16, 4
     rng = np.random.default_rng(3)
