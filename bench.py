@@ -6,22 +6,63 @@ reference anchor of ~123 samples/s on its CUDA GPU
 (reference src/notebooks/test_prob_unet.ipynb cell 2: 3.84 it/s @ bs=32;
 see BASELINE.md). Prints ONE JSON line.
 
+Modes (BENCH_MODE env var), each with its BASELINE.md anchor:
+  (default)  train step, afCRPS ELBO M=15            — ref ~123 samples/s
+  eval       no-grad ELBO, M=5 posterior draws       — ref ~530 samples/s
+  msssim     train step, WMSE-MS-SSIM ELBO, M=1      — ref ~192 samples/s
+  ensemble   16-member prior-ensemble generation     — ref ~2,450 fields/s
+
+The default mode also reports FLOPs/step from the compiled executable's
+cost analysis and an MFU estimate against the v5e bf16 peak (197 TFLOP/s).
+
 Everything (synthetic data, stats, batches, train state) lives on device:
 the measurement isolates the compiled train step, and no large host<->device
 transfer is involved (remote-attached TPU links are slow; production input
 pipelines overlap transfers via double-buffered prefetch, see
 probunet_tpu.data.loader).
+
+TIMING IS SYNCHRONIZED BY A HOST READ, NOT block_until_ready: on the
+remote-attached (axon-tunnel) backend ``jax.block_until_ready`` returns when
+the local proxy buffer is enqueued, NOT when the remote compute finishes —
+a chained 8192^3 matmul loop "measures" 60 PFLOP/s with block_until_ready
+and 151 TF/s (a sane 77% of v5e bf16 peak) when the loop result is actually
+read back. Every timed region here therefore ends with a scalar host read
+whose value depends on the whole step chain.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_SAMPLES_PER_SEC = 123.0  # 3.84 it/s * bs 32 (BASELINE.md)
+# reference anchors (BASELINE.md "Throughput"; all at bs=32 on 1 CUDA GPU)
+BASELINE_TRAIN = 123.0      # 3.84 it/s * 32  (afCRPS ELBO, M=15)
+BASELINE_EVAL = 530.0       # 16.6 it/s * 32  (no-grad ELBO, M=5)
+BASELINE_MSSSIM = 192.0     # 6.0 it/s * 32   (WMSE-MS-SSIM, M=1)
+BASELINE_ENSEMBLE = 2450.0  # 3.83 it/s * 32 * 20 member-fields/s
+
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip (public TPU v5e spec)
+
+
+def _sync(x) -> float:
+    """True device synchronization: a scalar host read (see module
+    docstring — block_until_ready is a no-op on the remote axon backend)."""
+    return float(jax.device_get(jnp.ravel(x)[0]))
+
+
+def _flops_per_step(compiled) -> float | None:
+    """Total FLOPs of one compiled step, from XLA's cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -30,11 +71,10 @@ def main() -> None:
     from probunet_tpu.data.synthetic import synthetic_climex_fields_device
     from probunet_tpu.data.transforms import apply_physical_transform
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
-    from probunet_tpu.train.loop import make_train_step
+    from probunet_tpu.train.loop import make_eval_step, make_train_step
     from probunet_tpu.train.state import create_train_state
 
-    import os
-
+    mode = os.environ.get("BENCH_MODE", "train")
     cfg = preset("probunet_multivar_128")
     on_cpu = jax.default_backend() == "cpu"
     if on_cpu:  # keep CI smoke runs tractable; real numbers come from TPU
@@ -50,13 +90,22 @@ def main() -> None:
     # still runs the XLA formulation.
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     cfg.model.use_pallas_fcomb = os.environ.get("BENCH_PALLAS", "0") == "1"
+    cfg.model.use_pallas_gn = os.environ.get("BENCH_PALLAS_GN", "0") == "1"
     # bs=32 is the reference's setting (it measured 123 samples/s there);
     # one v5e chip is occupancy-bound at bs=32 (5.1ms/step regardless of
     # batch up to 128), so the shipped default fills the chip: bs=128 ->
     # ~23.4k samples/s vs ~6.9k at bs=32. BENCH_BS=32 reproduces the
-    # strictly matched-config comparison. bs=256 exceeds 16G HBM at M=15.
+    # strictly matched-config comparison. bs=256 exceeds 16G HBM at M=15
+    # (use train.accum for larger effective batches).
     if not on_cpu:
         cfg.train.batch_size = int(os.environ.get("BENCH_BS", "128"))
+    if mode == "msssim":
+        # BASELINE.md row 3: WMSE-MS-SSIM ELBO collapses the ensemble to its
+        # mean (reference src/prob_unet_utils.py:285-286) and the reference
+        # ran it with M=1
+        cfg.loss.loss_type = "mse+ssim"
+        cfg.loss.lam_w = 0.158
+        cfg.train.ensemble_size = 1
 
     b = cfg.train.batch_size
     res = cfg.data.resolution
@@ -82,23 +131,25 @@ def main() -> None:
         dropout=cfg.model.dropout,
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
         use_pallas_fcomb=cfg.model.use_pallas_fcomb,
+        use_pallas_gn=cfg.model.use_pallas_gn,
     )
     x = jnp.zeros((b, res[0], res[1], cfg.model.input_channels), jnp.float32)
     y = jnp.zeros((b, res[0], res[1], cfg.model.num_classes), jnp.float32)
     state = create_train_state(model, x, y, seed=cfg.train.seed, lr=cfg.train.lr)
-    step = make_train_step(model, cfg)
 
     b0 = jnp.float32(1.0)
     b1 = jnp.float32(1e-3)
 
-    if os.environ.get("BENCH_MODE") == "ensemble":
+    if mode == "ensemble":
         # 16-member prior-ensemble generation throughput (the second
         # BASELINE.json metric). Reference anchor: M=20 draws re-running the
         # full U-Net per draw, 3.83 it/s @ bs=32 on 64x64 ≈ 2,450
         # member-fields/s (BASELINE.md). Here: features once + vmapped
         # fcomb decode over members (SURVEY.md §3.3 design note).
         m_members = 16
-        from probunet_tpu.data.climex import preprocess_batch, residual_to_hr
+        from probunet_tpu.data.climex import (
+            lrinterp_from_batch, preprocess_batch, residual_to_hr,
+        )
 
         @jax.jit
         def gen(params, hr_batch, key):
@@ -109,47 +160,96 @@ def main() -> None:
                               num_samples=m_members,
                               method=ProbabilisticUNet.sample,
                               rngs={"latent": key})
-            return residual_to_hr(out, batch["lrinterp"][:, None], stats,
+            lrinterp = lrinterp_from_batch(batch, cfg.data.lowres_scale,
+                                           cfg.data.interp_mode)
+            return residual_to_hr(out, lrinterp[:, None], stats,
                                   cfg.data.pipeline, cfg.data.epsilon)
 
         key = jax.random.key(0)
         out = gen(state.params, batches[0], key)
-        jax.block_until_ready(out)
+        _sync(out)
         n_steps = 5 if on_cpu else 30
         t0 = time.perf_counter()
         for i in range(n_steps):
             out = gen(state.params, batches[i % nb], jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        _sync(out)
         dt = time.perf_counter() - t0
         member_fields_per_sec = n_steps * b * m_members / dt
         print(json.dumps({
             "metric": "ensemble16_member_fields_per_sec_128x128",
             "value": round(member_fields_per_sec, 2),
             "unit": "member-fields/s",
-            "vs_baseline": round(member_fields_per_sec / 2450.0, 3),
+            "vs_baseline": round(member_fields_per_sec / BASELINE_ENSEMBLE, 3),
         }))
         return
+
+    if mode == "eval":
+        # no-grad posterior ELBO at M = eval_ensemble_size (5), the
+        # reference's per-epoch eval pass (BASELINE.md row "Eval rate")
+        eval_step = make_eval_step(model, cfg)
+        key = jax.random.key(0)
+        m = eval_step(state.params, key, batches[0], stats)
+        _sync(m["loss"])
+        n_steps = 10 if on_cpu else 50
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            m = eval_step(state.params, jax.random.fold_in(key, i),
+                          batches[i % nb], stats)
+        _sync(m["loss"])
+        dt = time.perf_counter() - t0
+        samples_per_sec = n_steps * b / dt
+        print(json.dumps({
+            "metric": f"eval_samples_per_sec_128x128_elbo_M5_bs{b}",
+            "value": round(samples_per_sec, 2),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_sec / BASELINE_EVAL, 3),
+        }))
+        return
+
+    # train-step modes (default afCRPS M=15, or msssim M=1)
+    step = make_train_step(model, cfg)
 
     # warmup / compile
     for i in range(2):
         state, metrics = step(state, batches[i % nb], stats, b0, b1)
-    jax.block_until_ready(metrics)
+    _sync(metrics["grad_norm"])
 
     n_steps = 10 if on_cpu else 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batches[i % nb], stats, b0, b1)
-    jax.block_until_ready(metrics)
+    # grad_norm of the final step depends on the entire step chain
+    _sync(metrics["grad_norm"])
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_steps * b / dt
-    print(json.dumps({
-        "metric": f"train_samples_per_sec_128x128_afcrps_M15_bs{b}"
-        if not on_cpu else "train_samples_per_sec_cpu_smoke",
-        "value": round(samples_per_sec, 2),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-    }))
+    sec_per_step = dt / n_steps
+    flops = _flops_per_step(
+        step.lower(state, batches[0], stats, b0, b1).compile()
+    )
+    if mode == "msssim":
+        result = {
+            "metric": f"train_samples_per_sec_128x128_msssim_M1_bs{b}",
+            "value": round(samples_per_sec, 2),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_sec / BASELINE_MSSSIM, 3),
+        }
+    else:
+        result = {
+            "metric": f"train_samples_per_sec_128x128_afcrps_M15_bs{b}"
+            if not on_cpu else "train_samples_per_sec_cpu_smoke",
+            "value": round(samples_per_sec, 2),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_sec / BASELINE_TRAIN, 3),
+        }
+    if flops is not None:
+        result["flops_per_step"] = flops
+        # MFU vs the bf16 systolic-array peak; an upper-bound utilization
+        # figure when compute runs in f32 (the MXU f32 path is slower)
+        result["mfu_vs_v5e_bf16_peak"] = round(
+            flops / sec_per_step / V5E_BF16_PEAK_FLOPS, 4
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
