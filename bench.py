@@ -82,15 +82,11 @@ def main() -> None:
         cfg.data.lowres_scale = 8
         cfg.train.batch_size = 8
         cfg.train.ensemble_size = 4
-    # A/B knobs. Shipped default is bf16 compute + XLA fcomb: measured on one
-    # v5e chip f32=4658, f32+pallas-fcomb=5595, bf16=6866 (default),
-    # bf16+pallas=5232 samples/s. The fused kernel beats XLA only in f32;
-    # in bf16 XLA's own fusion wins because C=32 fills only a quarter of the
-    # 128-lane MXU in the hand-written kernel and the custom-vjp backward
-    # still runs the XLA formulation.
+    # A/B knobs: BENCH_DTYPE=float32 for the f32 step;
+    # PROBUNET_CRPS_IMPL=xla swaps the afCRPS Pallas kernel for the XLA
+    # formulation (they tie in-step: 270 vs 273 ms at bs=128; the kernel is
+    # the default for its analytic, sort-free backward).
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    cfg.model.use_pallas_fcomb = os.environ.get("BENCH_PALLAS", "0") == "1"
-    cfg.model.use_pallas_gn = os.environ.get("BENCH_PALLAS_GN", "0") == "1"
     # bs=32 is the reference's setting (it measured 123 samples/s there);
     # one v5e chip is occupancy-bound at bs=32 (5.1ms/step regardless of
     # batch up to 128), so the shipped default fills the chip: bs=128 ->
@@ -99,6 +95,10 @@ def main() -> None:
     # (use train.accum for larger effective batches).
     if not on_cpu:
         cfg.train.batch_size = int(os.environ.get("BENCH_BS", "128"))
+    if mode == "ensemble" and not on_cpu:
+        # 16 members x bs=128 x f32 HR reconstruction exceeds 16G HBM by
+        # ~260M; 64x16 member-fields per generation fills the chip fine
+        cfg.train.batch_size = min(cfg.train.batch_size, 64)
     if mode == "msssim":
         # BASELINE.md row 3: WMSE-MS-SSIM ELBO collapses the ensemble to its
         # mean (reference src/prob_unet_utils.py:285-286) and the reference
@@ -130,8 +130,6 @@ def main() -> None:
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
-        use_pallas_fcomb=cfg.model.use_pallas_fcomb,
-        use_pallas_gn=cfg.model.use_pallas_gn,
     )
     x = jnp.zeros((b, res[0], res[1], cfg.model.input_channels), jnp.float32)
     y = jnp.zeros((b, res[0], res[1], cfg.model.num_classes), jnp.float32)

@@ -101,8 +101,6 @@ def make_model(cfg: Config):
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
         dtype=dtype,
-        use_pallas_fcomb=cfg.model.use_pallas_fcomb,
-        use_pallas_gn=cfg.model.use_pallas_gn,
         remat=cfg.train.remat,
     )
 

@@ -16,9 +16,11 @@ TPU-first differences:
   re-runs the full U-Net per ensemble member on its sampling path
   (SURVEY.md §3.3); its elbo shares features but still loops M times in
   Python (reference src/prob_unet.py:246-252).
-- The fused Pallas kernel (probunet_tpu.ops.pallas.fcomb) implements the
-  same math in one VMEM-resident pass per tile; this module is the XLA path
-  and the numerical reference for it.
+- A hand-written fused Pallas kernel for this decode was built and retired
+  with honest-timing data: XLA's fusion of the split-matmul formulation ran
+  the bs=64 M=15 ensemble decode in 8.7 ms (bf16) / 7.2 ms (f32) vs the
+  kernel's 32.7 / 40.6 ms, and the kernel's recompute-based backward blew
+  HBM at bs=128 — XLA wins this op outright.
 
 Initialization matches ``init_weights`` (kaiming-normal fan-in ReLU +
 truncated-normal 0.001 bias, reference src/prob_unet_utils.py:18-23); the
@@ -41,9 +43,6 @@ class Fcomb(nn.Module):
     latent_dim: int
     num_classes: int
     dtype: Any = None
-    # route ensemble decode through the fused Pallas kernel
-    # (probunet_tpu.ops.pallas.fcomb); numerics match the XLA path
-    use_pallas: bool = False
 
     def setup(self):
         c, d, k = self.unet_output_channels, self.latent_dim, self.num_classes
@@ -84,22 +83,6 @@ class Fcomb(nn.Module):
         subsequent layers carry the M axis.
         """
         c = self.unet_output_channels
-        if self.use_pallas and not self.is_initializing():
-            from probunet_tpu.ops.pallas.fcomb import fcomb_fused
-
-            b, h, w, _ = feature_map.shape
-            m = zs.shape[0]
-            k = self.num_classes
-            dt = self.dtype or feature_map.dtype  # kernel compute dtype
-            w1 = self.layer0_weight[0, 0]
-            out = fcomb_fused(
-                feature_map.reshape(b, h * w, c).astype(dt),
-                jnp.swapaxes(zs, 0, 1).astype(dt),
-                w1[:c], w1[c:], self.layer0_bias,
-                self.layer1_weight[0, 0], self.layer1_bias,
-                self.layer2_weight[0, 0], self.layer2_bias,
-            )
-            return out.reshape(b, m, h, w, k).astype(feature_map.dtype)
         w1 = self.layer0_weight[0, 0]
         feat_part = self._mm(feature_map, w1[:c])                   # (B, H, W, C)
         z_part = self._mm(zs, w1[c:]) + self.layer0_bias            # (M, B, C)

@@ -152,45 +152,33 @@ class EDMConv(nn.Module):
         return y.astype(x.dtype)
 
 
-class _GNParams(nn.Module):
-    """Bare GroupNorm scale/bias, param-tree-compatible with flax GroupNorm
-    (same child name "gn", same leaf names/shapes/initializers) so the
-    Pallas and XLA paths share checkpoints."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return scale, bias
-
-
 class EDMGroupNorm(nn.Module):
     """GroupNorm with adaptive group count (reference src/networks.py:97-107).
 
     ``__call__(x, silu=True)`` fuses the SiLU that always follows GN on the
-    UNetBlock hot path; with ``use_pallas`` (and a TPU backend) that pair
-    runs as the single-VMEM-residency kernel in ops.pallas.groupnorm.
+    UNetBlock hot path into the same XLA fusion. A hand-written Pallas
+    GN+SiLU kernel was built and retired with data: at its best-case shape
+    (64x64xC32, the largest whose one-pass block fits scoped VMEM) it ran
+    2.0 ms/op vs XLA's 0.5 ms, and at the flagship 128x128 shape it could
+    not compile at all (32M scoped-VMEM stack vs the 16M limit) — XLA's
+    fused GN wins outright on this op.
+
+    ``dtype`` sets the normalize/scale/shift compute dtype; flax computes
+    the statistics in f32 regardless, and bf16 halves the HBM traffic of
+    this memory-bound op (measured -37 ms on the flagship train step).
     """
 
     num_groups: int = 32
     min_channels_per_group: int = 4
     eps: float = 1e-5
-    use_pallas: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, silu: bool = False):
         c = x.shape[-1]
         groups = min(self.num_groups, c // self.min_channels_per_group)
-        if (self.use_pallas and silu and not self.is_initializing()
-                and jax.default_backend() == "tpu"):
-            from probunet_tpu.ops.pallas.groupnorm import groupnorm_silu
-
-            scale, bias = _GNParams(c, name="gn")()
-            return groupnorm_silu(x, scale, bias, groups,
-                                  self.eps).astype(x.dtype)
-        y = nn.GroupNorm(num_groups=groups, epsilon=self.eps, name="gn")(x)
+        y = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
+                         dtype=self.dtype, name="gn")(x)
         return nn.silu(y) if silu else y
 
 
@@ -250,8 +238,6 @@ class UNetBlock(nn.Module):
     init_zero: Tuple[str, float, float] = INIT_ZERO
     init_attn: Optional[Tuple[str, float, float]] = None
     dtype: Any = None
-    # fuse the norm0 GN+SiLU pair into the Pallas kernel (TPU only)
-    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
@@ -269,7 +255,7 @@ class UNetBlock(nn.Module):
 
         orig = x
         x = EDMGroupNorm(eps=self.eps, name="norm0",
-                         use_pallas=self.use_pallas_gn)(x, silu=True)
+                         dtype=self.dtype)(x, silu=True)
         x = EDMConv(
             out, 3, up=self.up, down=self.down, init=self.init, dtype=self.dtype,
             name="conv0",
@@ -282,9 +268,11 @@ class UNetBlock(nn.Module):
         params = params[:, None, None, :]  # (B, 1, 1, C or 2C)
         if self.adaptive_scale:
             scale, shift = jnp.split(params, 2, axis=-1)
-            x = nn.silu(shift + EDMGroupNorm(eps=self.eps, name="norm1")(x) * (scale + 1))
+            x = nn.silu(shift + EDMGroupNorm(
+                eps=self.eps, name="norm1", dtype=self.dtype)(x) * (scale + 1))
         else:
-            x = nn.silu(EDMGroupNorm(eps=self.eps, name="norm1")(x + params))
+            x = nn.silu(EDMGroupNorm(
+                eps=self.eps, name="norm1", dtype=self.dtype)(x + params))
 
         x = nn.Dropout(self.dropout, name="drop")(x, deterministic=not train)
         x = EDMConv(out, 3, init=self.init_zero, dtype=self.dtype, name="conv1")(x)
@@ -301,7 +289,7 @@ class UNetBlock(nn.Module):
 
         if heads:
             b, h, w, c = x.shape
-            y = EDMGroupNorm(eps=self.eps, name="norm2")(x)
+            y = EDMGroupNorm(eps=self.eps, name="norm2", dtype=self.dtype)(x)
             qkv = EDMConv(
                 c * 3, 1,
                 init=(self.init_attn if self.init_attn is not None else self.init),

@@ -64,8 +64,6 @@ class ProbabilisticUNet(nn.Module):
     num_blocks: int = 2
     dropout: float = 0.10
     dtype: Any = None
-    use_pallas_fcomb: bool = False
-    use_pallas_gn: bool = False
     remat: bool = False
 
     def setup(self):
@@ -81,7 +79,6 @@ class ProbabilisticUNet(nn.Module):
             use_diffuse=False,
             dtype=self.dtype,
             remat=self.remat,
-            use_pallas_gn=self.use_pallas_gn,
         )
         self.prior = AxisAlignedConvGaussian(
             num_filters=tuple(self.num_filters),
@@ -103,7 +100,6 @@ class ProbabilisticUNet(nn.Module):
             latent_dim=self.latent_dim,
             num_classes=self.num_classes,
             dtype=self.dtype,
-            use_pallas=self.use_pallas_fcomb,
         )
 
     # ------------------------------------------------------------------

@@ -72,8 +72,6 @@ class UNet(nn.Module):
     # gradient rematerialization of every residual block: trades ~1 extra
     # forward pass for O(depth) less activation memory (large M / batch)
     remat: bool = False
-    # fuse each block's GN+SiLU pair into the Pallas kernel (TPU only)
-    use_pallas_gn: bool = False
 
     @nn.compact
     def __call__(
@@ -89,7 +87,7 @@ class UNet(nn.Module):
         emb_channels = mc * self.channel_mult_emb
         block_kwargs = dict(
             dropout=self.dropout, init=INIT_EDM, init_zero=INIT_ZERO,
-            dtype=self.dtype, use_pallas_gn=self.use_pallas_gn,
+            dtype=self.dtype,
         )
         # nn.remat checkpoints each block; `train` must stay static (the
         # transformed call sees (module, x, emb, train) -> index 3)
@@ -191,8 +189,7 @@ class UNet(nn.Module):
                 )(x, emb, train)
         assert not skips
 
-        x = EDMGroupNorm(name="out_norm",
-                         use_pallas=self.use_pallas_gn)(x, silu=True)
+        x = EDMGroupNorm(name="out_norm", dtype=self.dtype)(x, silu=True)
         x = EDMConv(
             self.out_channels, 3, init=INIT_ZERO, dtype=self.dtype, name="out_conv"
         )(x)

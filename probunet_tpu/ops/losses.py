@@ -77,6 +77,32 @@ def _ensemble_spread_sum(ens: jax.Array) -> jax.Array:
     return _pairwise_abs_sum_sorted(ens)
 
 
+def _crps_impl() -> str:
+    """Which formulation computes the CRPS terms: "pallas" (fused kernel,
+    the TPU default), or "xla". Override with PROBUNET_CRPS_IMPL."""
+    import os
+
+    impl = os.environ.get("PROBUNET_CRPS_IMPL", "auto")
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
+def _crps_terms(ens: jax.Array, tgt: jax.Array):
+    """(t1, t2) = (sum_j |x_j - y|, sum_{j<k} |x_j - x_k|) per batch elem.
+
+    ens (B, M, P), tgt (B, 1, P). The fused Pallas kernel
+    (ops.pallas.afcrps) reads the ensemble once per term with an analytic
+    backward; the XLA path is the pairwise/sorted dispatch above.
+    """
+    if _crps_impl() == "pallas" and ens.shape[1] >= 2:
+        from probunet_tpu.ops.pallas.afcrps import ensemble_crps_terms
+
+        return ensemble_crps_terms(ens, tgt[:, 0, :])
+    t1 = jnp.sum(jnp.abs(ens - tgt), axis=(1, 2))
+    return t1, _ensemble_spread_sum(ens)
+
+
 def afcrps_loss(ensemble: jax.Array, target: jax.Array, alpha: float = 0.95) -> jax.Array:
     """Almost-fair CRPS, scalar mean over batch.
 
@@ -95,8 +121,7 @@ def afcrps_loss(ensemble: jax.Array, target: jax.Array, alpha: float = 0.95) -> 
     ens = _flatten_spatial(ensemble, 2)            # (B, M, P)
     tgt = _flatten_spatial(target, 1)[:, None, :]  # (B, 1, P)
 
-    term_y = jnp.sum(jnp.abs(ens - tgt), axis=(1, 2))        # (B,)
-    term_pair = _ensemble_spread_sum(ens)                     # (B,)
+    term_y, term_pair = _crps_terms(ens, tgt)                 # (B,), (B,)
 
     total = 2.0 * (m - 1) * term_y - (1.0 - eps) * 2.0 * term_pair
     per_batch = total / (2.0 * m * (m - 1)) / p
@@ -132,8 +157,9 @@ def crps_loss(ensemble: jax.Array, target: jax.Array) -> jax.Array:
     ens = _flatten_spatial(ensemble, 2)
     tgt = _flatten_spatial(target, 1)[:, None, :]
 
-    first = jnp.sum(jnp.abs(ens - tgt), axis=(1, 2)) / m       # (B,) * P-summed
-    second = 2.0 * _ensemble_spread_sum(ens) / (m * m)         # ordered pairs
+    t1, t2 = _crps_terms(ens, tgt)
+    first = t1 / m                                             # (B,) P-summed
+    second = 2.0 * t2 / (m * m)                                # ordered pairs
     return ((first - 0.5 * second) / p).mean()
 
 

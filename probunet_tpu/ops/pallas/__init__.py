@@ -1,25 +1,31 @@
 """Pallas TPU kernels for the hot ops.
 
 The reference has no native kernels (100% Python/PyTorch — SURVEY.md §2);
-its hot paths run through cuDNN/cuBLAS. The TPU-native equivalents here are
-Mosaic/Pallas kernels for the two fusion opportunities XLA does not get by
-itself:
+its hot paths run through cuDNN/cuBLAS. Kernels live here only when honest
+device timing (scalar-host-read sync; see bench.py) shows they earn their
+keep against XLA's own fusion:
 
-- :func:`fcomb_fused` — the Fcomb decode head (broadcast z + 3-layer 1x1
-  conv MLP) as ONE VMEM-resident pass per spatial tile, with the
-  feature-side matmul computed once and reused across all M ensemble
-  members (reference recomputes the whole U-Net per member on its sampling
-  path, SURVEY.md §3.3);
-- :func:`groupnorm_silu` — GroupNorm + SiLU fused, with group statistics
-  computed as indicator-matrix matmuls (MXU-friendly, no lane-crossing
-  reshapes) — the UNetBlock's normalization hot path
-  (reference src/networks.py:97-107,159).
+- :func:`ensemble_crps_terms` — the afCRPS/CRPS ensemble-loss terms with an
+  ANALYTIC backward. Ships as the TPU default in ops.losses: it ties XLA's
+  best fused formulation in-step (270 vs 273 ms flagship train step) while
+  guaranteeing the gradient never routes through a sort/scatter (the
+  naively-differentiated sorted form costs 577 ms in backward alone).
 
-On non-TPU backends both kernels fall back to ``interpret=True``
-(numerics-identical, used by the CPU test suite).
+Retired with measurements (round 2, v5e honest timing):
+
+- fcomb decode kernel — XLA's fusion of the concat-free split-matmul
+  formulation (models.fcomb) ran the bs=64 M=15 ensemble decode in 8.7 ms
+  bf16 vs the kernel's 32.7 ms, and the kernel's recompute-based backward
+  exceeded HBM at bs=128. Removed.
+- GroupNorm+SiLU kernel — 2.0 ms/op vs XLA's 0.5 ms at its best-case
+  64x64xC32 shape; could not compile at the flagship 128x128 shape (32M
+  scoped-VMEM stack vs the 16M limit). Removed; the op's real win was
+  running the normalize pass in bf16 (models.layers.EDMGroupNorm dtype).
+
+On non-TPU backends the kernels run in interpret mode (numerics-identical;
+used by the CPU test suite).
 """
 
-from probunet_tpu.ops.pallas.fcomb import fcomb_fused
-from probunet_tpu.ops.pallas.groupnorm import groupnorm_silu
+from probunet_tpu.ops.pallas.afcrps import ensemble_crps_terms
 
-__all__ = ["fcomb_fused", "groupnorm_silu"]
+__all__ = ["ensemble_crps_terms"]

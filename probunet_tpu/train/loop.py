@@ -293,6 +293,7 @@ class Trainer:
             lr=cfg.train.lr,
             weight_decay=cfg.train.weight_decay,
             accum=cfg.train.accum,
+            rng_impl=cfg.train.rng_impl,
         )
         if mesh is not None:
             # data-parallel jitted steps over the mesh (SURVEY.md §2.5 P1);
