@@ -483,6 +483,20 @@ def cmd_infer_domain(args):
     if args.ckpt:
         params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
 
+    # data-parallel tile batches (BASELINE config 5: DP over v5e-8): the
+    # (day, tile) batch is sharded over the mesh's "data" axis, params and
+    # the rng replicated — GSPMD runs each chunk embarrassingly parallel
+    mesh = None
+    n_data = 1
+    if args.dp:
+        from probunet_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated,
+        )
+        n_data = len(jax.devices()) if args.dp == -1 else args.dp
+        mesh = make_mesh(n_data=n_data)
+        params = jax.device_put(params, replicated(mesh))
+        print(f"tile batches data-parallel over {dict(mesh.shape)}")
+
     # pooling-aligned tiles + per-tile slices of the global stats
     tiles, positions = extract_tiles(hr_days, tile, args.overlap, align=k)
     ntiles = len(positions)
@@ -525,15 +539,34 @@ def cmd_infer_domain(args):
                               cfg.data.standardization, ist)
 
     bs = args.batch_tiles
+    if mesh is not None and bs % n_data:
+        bs = -(-bs // n_data) * n_data  # chunk size divisible by the mesh
     outs = []
     key = jax.random.key(cfg.train.seed)
     for i in range(0, tiles.shape[0], bs):
+        chunk = tiles[i:i + bs]
         st_chunk = jax.tree.map(
             lambda a: a[i:i + bs] if a is not None else a, stats_t
         )
+        n_real = chunk.shape[0]
+        if mesh is not None:
+            pad = (-n_real) % n_data
+            if pad:  # wrap-repeat tiles so every device has work (the
+                # last chunk can be smaller than the pad itself)
+                idx = jnp.arange(n_real + pad) % n_real
+                chunk = chunk[idx]
+                st_chunk = jax.tree.map(
+                    lambda a: a[idx] if a is not None else a, st_chunk
+                )
+            sh = batch_sharding(mesh, spatial=False)
+            chunk = jax.device_put(chunk, sh)
+            st_chunk = jax.tree.map(
+                lambda a: jax.device_put(a, sh) if a is not None else a,
+                st_chunk,
+            )
         outs.append(np.asarray(sample_tiles(
-            tiles[i:i + bs], st_chunk, jax.random.fold_in(key, i)
-        )))
+            chunk, st_chunk, jax.random.fold_in(key, i)
+        ))[:n_real])
     out = jnp.asarray(np.concatenate(outs))      # (T*ntiles, M, tile, tile, C)
 
     full = stitch_tiles(out, positions, (dom_pad, dom_pad))
@@ -821,6 +854,8 @@ def main(argv=None):
     sp.add_argument("--members", type=int, default=8)
     sp.add_argument("--overlap", type=int, default=16)
     sp.add_argument("--batch-tiles", type=int, default=16)
+    sp.add_argument("--dp", type=int, default=0,
+                    help="shard tile batches over N devices (-1 = all)")
     sp.set_defaults(fn=cmd_infer_domain)
 
     sp = sub.add_parser("extremes",

@@ -3,6 +3,7 @@
 import json
 import os
 
+import numpy as np
 import pytest
 
 from probunet_tpu.cli import main
@@ -83,6 +84,23 @@ def test_cli_pack_feeds_train(tmp_path, capsys):
          + TINY + [f"data.packed_train={pk}"])
     printed = capsys.readouterr().out
     assert '"final"' in printed
+
+
+def test_cli_infer_domain_dp(tmp_path, capsys):
+    """Full-domain tiled inference with the tile batch sharded over the
+    8-device virtual mesh (BASELINE config 5's DP story)."""
+    out = str(tmp_path / "dom")
+    main(["infer-domain", "--preset", "probunet_latent6_64", "--outdir", out,
+          "--domain", "32", "--days", "2", "--members", "2", "--overlap", "4",
+          "--batch-tiles", "8", "--dp", "-1"] + TINY)
+    printed = capsys.readouterr().out
+    assert "data-parallel over" in printed
+    res = json.loads(
+        [ln for ln in printed.splitlines() if '"tiles_per_day"' in ln][-1]
+    )
+    assert res["days"] == 2 and res["members"] == 2
+    assert all(np.isfinite(v) for v in res["crps_mean"])
+    assert os.path.exists(os.path.join(out, "infer_domain.json"))
 
 
 def test_cli_sweep(tmp_path, capsys):

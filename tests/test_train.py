@@ -243,6 +243,27 @@ class TestGradAccumulation:
         assert hist["train_crps"][-1] < hist["train_crps"][0]
 
 
+class TestRngImpl:
+    @pytest.mark.parametrize("impl", ["rbg", "threefry2x32"])
+    def test_step_deterministic_per_impl(self, impl):
+        """Both PRNG implementations produce deterministic, finite steps
+        (rbg is the default — the TPU hardware-RNG path, ~39 ms/step
+        cheaper dropout masks than threefry at the flagship config)."""
+        cfg = _tiny_cfg()
+        model = _tiny_model(cfg)
+        ds = _tiny_dataset(cfg)
+        step = make_train_step(model, cfg, donate=False)
+        x = jnp.zeros((8, 32, 32, 2))
+        state = create_train_state(model, x, x, seed=0, rng_impl=impl)
+        stats = jax.tree.map(jnp.asarray, ds.stats)
+        hr = jnp.asarray(ds.get_hr_batch(np.arange(8)))
+        b, z = jnp.asarray(1.0), jnp.asarray(0.0)
+        _, m1 = step(state, hr, stats, b, z)
+        _, m2 = step(state, hr, stats, b, z)
+        assert float(m1["loss"]) == float(m2["loss"])
+        assert np.isfinite(float(m1["loss"]))
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         cfg = _tiny_cfg()
