@@ -759,7 +759,25 @@ def cmd_sweep(args):
     cfg = build_config(args)
     if args.spec:
         with open(args.spec) as f:
-            spec = json.load(f)
+            if args.spec.endswith((".yaml", ".yml")):
+                # reference-style sweep file (sweeps.yaml); accept both the
+                # plain {key: [values]} form and wandb's
+                # {parameters: {key: {values: [...]}}} schema
+                import yaml
+                raw = yaml.safe_load(f)
+                if "parameters" in raw:
+                    # the reference's flat argparse names -> dotted keys
+                    aliases = {"batch_size": "train.batch_size",
+                               "lr": "train.lr",
+                               "num_epochs": "train.num_epochs",
+                               "ensemble_size": "train.ensemble_size",
+                               "latent_dim": "model.latent_dim"}
+                    spec = {aliases.get(k, k): v["values"]
+                            for k, v in raw["parameters"].items()}
+                else:
+                    spec = raw
+            else:
+                spec = json.load(f)
     else:
         spec = {}
         for pair in args.grid or []:
@@ -885,7 +903,8 @@ def main(argv=None):
     sp = sub.add_parser("sweep", help="hyperparameter grid sweep")
     common(sp)
     sp.add_argument("--spec", default=None,
-                    help="JSON file {dotted.key: [values...]}")
+                    help="JSON {dotted.key: [values...]} or a wandb-style "
+                         "sweeps.yaml (reference sweeps.yaml:1-14 schema)")
     sp.add_argument("--grid", nargs="*", default=[],
                     help="inline grid key=v1,v2,...")
     sp.add_argument("--metric", default="val_crps")

@@ -42,12 +42,30 @@ def nan_check_mode(enable: bool = True):
         jax.config.update("jax_debug_nans", prev)
 
 
+def device_sync(x) -> float:
+    """TRUE device synchronization: a scalar host read that depends on x.
+
+    On remote-attached backends (the axon tunnel) ``jax.block_until_ready``
+    returns when the local proxy buffer is enqueued, NOT when the remote
+    compute finishes — timings synchronized with it can read up to ~300x
+    too fast. Call this on a value produced by the work being timed (the
+    dependency forces the whole chain to complete before the read returns).
+    """
+    import jax.numpy as jnp
+
+    return float(jax.device_get(jnp.ravel(x)[0]))
+
+
 class Throughput:
     """Steps/sec and samples/sec counter with warmup exclusion.
 
+    NOTE: call :func:`device_sync` on a step output before ``summary()`` —
+    otherwise the timed region may only cover async dispatch (see
+    device_sync docstring).
+
     >>> tp = Throughput(batch_size=32, warmup_steps=2)
-    >>> for batch in batches: step(...); tp.step()
-    >>> tp.summary()   # {'steps_per_sec': ..., 'samples_per_sec': ...}
+    >>> for batch in batches: out = step(...); tp.step()
+    >>> device_sync(out); tp.summary()
     """
 
     def __init__(self, batch_size: int, warmup_steps: int = 2,

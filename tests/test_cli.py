@@ -115,3 +115,24 @@ def test_cli_sweep(tmp_path, capsys):
     assert "train.lr" in res["best"]["overrides"]
     with open(os.path.join(out, "sweep.json")) as f:
         assert len(json.load(f)) == 2
+
+
+def test_cli_sweep_wandb_yaml(tmp_path, capsys):
+    """A reference-style sweeps.yaml (wandb grid schema,
+    reference sweeps.yaml:1-14) drives the sweep directly."""
+    spec = tmp_path / "sweeps.yaml"
+    spec.write_text(
+        "program: main.py\n"
+        "method: grid\n"
+        "metric:\n  name: val-loss\n  goal: minimize\n"
+        "parameters:\n  batch_size:\n    values: [16, 32]\n"
+    )
+    out = str(tmp_path / "sweep")
+    main(["sweep", "--preset", "probunet_latent6_64", "--outdir", out,
+          "--spec", str(spec), "--epochs", "1"] + TINY)
+    printed = capsys.readouterr().out
+    res = json.loads(
+        [ln for ln in printed.splitlines() if '"best"' in ln][-1]
+    )
+    assert res["points"] == 2
+    assert "train.batch_size" in res["best"]["overrides"]
