@@ -319,6 +319,17 @@ def cmd_explore(args):
     save_artifacts(os.path.join(args.outdir, "pca_artifacts.pkl"),
                    pca, lat, diag)
 
+    if scores.shape[1] >= 2:
+        # Fig5a: PC1 x PC2 joint hist2d + marginals
+        # (reference src/latent_exploration.py:50-79, called at :723)
+        from probunet_tpu.utils.plotting import plot_latent_joint_marginal
+        plot_latent_joint_marginal(
+            scores, pca.explained_variance_ratio,
+            title_prefix=("Latent space (posterior)" if args.posterior
+                          else "Latent space (prior)"),
+            save_path=os.path.join(args.outdir, "latent_joint_marginal.png"),
+        )
+
     # decile + sigma grids decoded against context 0's frozen features
     batch = ds_test.preprocess(jnp.asarray(ds_test.get_hr_batch(np.array([0]))))
     feats, _, _ = model.apply({"params": params}, batch["inputs"],

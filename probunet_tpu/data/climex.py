@@ -357,6 +357,10 @@ class ClimexDataset:
                 timestamps = self._netcdf_timestamps
                 timestamps_float = self._netcdf_timestamps_float
 
+        # geographic coordinates: set by the NetCDF ingest, None otherwise
+        self.lat = getattr(self, "lat", None)
+        self.lon = getattr(self, "lon", None)
+
         # optional edge-padding of H/W to pooling multiples — needed for
         # full-domain work (ClimEx 280 is not divisible by scale 16);
         # `orig_shape` records the unpadded grid for cropping results back
@@ -427,15 +431,26 @@ class ClimexDataset:
         else:
             data = xr.open_dataset(megafile, engine="h5netcdf")[list(self.variables)]
 
-        self.lon = getattr(data, "lon", None)
-        self.lat = getattr(data, "lat", None)
+        # 2-D geographic coordinates for geo-referenced map plotting
+        # (reference src/climex_utils.py:354-363 pcolormesh(lon, lat, ...))
+        self.lon = (np.asarray(data["lon"]) if "lon" in getattr(
+            data, "variables", {}) else None)
+        self.lat = (np.asarray(data["lat"]) if "lat" in getattr(
+            data, "variables", {}) else None)
         try:
             time = data.indexes["time"].to_datetimeindex()
             month = np.sin(2 * np.pi * time.month / 12)
             day = np.cos(2 * np.pi * time.day / 31)
             self._netcdf_timestamps = np.asarray(month + day, dtype=np.float32)
             self._netcdf_timestamps_float = transforms.date_to_float(time)
-        except Exception:
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"NetCDF time coordinate could not be converted "
+                f"({type(e).__name__}: {e}); falling back to synthetic "
+                f"timestamps", stacklevel=2,
+            )
             self._netcdf_timestamps = None
 
         drop = [v for v in ("lat", "lon") if v in data.variables]

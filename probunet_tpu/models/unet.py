@@ -106,9 +106,12 @@ class UNet(nn.Module):
                 else jnp.zeros((b, self.label_dim), dtype=x.dtype)
             )
             if train and self.label_dropout:
+                # drawn from the "dropout" collection every training caller
+                # already supplies (flax folds a unique path salt per
+                # make_rng call, so this never collides with nn.Dropout)
                 keep = (
                     jax.random.uniform(
-                        self.make_rng("label_dropout"), (b, 1), dtype=labels.dtype
+                        self.make_rng("dropout"), (b, 1), dtype=labels.dtype
                     )
                     >= self.label_dropout
                 )

@@ -79,12 +79,28 @@ def _ensemble_spread_sum(ens: jax.Array) -> jax.Array:
 
 def _crps_impl() -> str:
     """Which formulation computes the CRPS terms: "pallas" (fused kernel,
-    the TPU default), or "xla". Override with PROBUNET_CRPS_IMPL."""
+    the single-chip TPU default), or "xla". Override with PROBUNET_CRPS_IMPL.
+
+    NOTE (trace-time capture): this is read while the enclosing loss is being
+    *traced* under jit — changing the env var later in the same process has no
+    effect on already-compiled steps (the jit cache keeps the first-traced
+    implementation). For in-process A/B comparisons call ``.clear_cache()`` on
+    the jitted function or use fresh processes (bench.py does the latter).
+
+    Multi-device: ``auto`` selects the Pallas kernel only when exactly ONE
+    device is visible. Under a multi-chip GSPMD mesh the pallas_call carries
+    no partitioning spec, so XLA would replicate the full (B, M, P) ensemble
+    on every chip; the XLA pairwise form (which GSPMD partitions freely and
+    which ties with the kernel on v5e — see ops/pallas/__init__.py) is used
+    instead. Forcing ``pallas`` with >1 device is at your own risk.
+    """
     import os
 
     impl = os.environ.get("PROBUNET_CRPS_IMPL", "auto")
     if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+            return "pallas"
+        return "xla"
     return impl
 
 

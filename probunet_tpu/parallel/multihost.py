@@ -23,13 +23,23 @@ _initialized = False
 
 
 def initialize(**kwargs) -> None:
-    """Start the multi-host runtime (no-op if single-process or already up)."""
+    """Start the multi-host runtime (no-op if single-process or already up).
+
+    With no arguments this auto-detects the cluster environment and silently
+    stays single-process when none is configured. When a coordinator is
+    EXPLICITLY configured (any kwarg given), failures propagate — a
+    misconfigured pod must not degrade silently to single-process training.
+    """
     global _initialized
     if _initialized or jax.process_count() > 1:
         _initialized = True
         return
+    if kwargs:
+        jax.distributed.initialize(**kwargs)  # explicit config: let it raise
+        _initialized = True
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()
         _initialized = True
     except (RuntimeError, ValueError):
         # single-process run (no coordinator configured): fine, stay local

@@ -407,16 +407,22 @@ class Trainer:
         hr_pred, hr, lrinterp, resid, resid_tgt = self.sample_ensemble()
         d = self.plot_dir
         variables = self.cfg.data.variables
+        # geo-reference panels when the dataset carries NetCDF lat/lon
+        # (reference src/climex_utils.py:354-363)
+        ds = self.dataset_val or self.dataset_train
+        lat = getattr(ds, "lat", None)
+        lon = getattr(ds, "lon", None)
         plot_sample_batch(
             np.asarray(hr_pred), np.asarray(hr), np.asarray(lrinterp),
-            variables=variables,
+            variables=variables, lat=lat, lon=lon,
             save_path=os.path.join(d, f"samples_ep{epoch:03d}.png"),
         )
         plot_residual_sample_batch(
             np.asarray(resid), np.asarray(resid_tgt), variables=variables,
+            lat=lat, lon=lon,
             save_path=os.path.join(d, f"residuals_ep{epoch:03d}.png"),
         )
         plot_residual_differences(
-            np.asarray(resid), variables=variables,
+            np.asarray(resid), variables=variables, lat=lat, lon=lon,
             save_path=os.path.join(d, f"residual_diffs_ep{epoch:03d}.png"),
         )

@@ -53,12 +53,43 @@ def _subplots(nrows, ncols, scale=2.4):
     return fig, axes
 
 
-def _imshow(ax, field, cmap, vmin=None, vmax=None):
-    im = ax.imshow(np.asarray(field), origin="lower", cmap=cmap,
-                   vmin=vmin, vmax=vmax)
+def _imshow(ax, field, cmap, vmin=None, vmax=None, lat=None, lon=None):
+    """One map panel. With ``lat``/``lon`` (2-D geographic coordinate arrays
+    from the NetCDF ingest, data/climex.py:430-431) the field is drawn
+    geo-referenced via ``pcolormesh(lon, lat, ...)`` — with
+    ``transform=PlateCarree()`` onto the RotatedPole axes when cartopy is
+    present (the reference's pattern, src/climex_utils.py:354-363) and on
+    plain axes otherwise. Falls back to index-space imshow without coords."""
+    field = np.asarray(field)
+    if lat is not None and lon is not None:
+        lat, lon = _coarsen_coords(np.asarray(lat), np.asarray(lon),
+                                   field.shape)
+        kw = {"transform": ccrs.PlateCarree()} if HAVE_CARTOPY else {}
+        im = ax.pcolormesh(lon, lat, field, cmap=cmap, vmin=vmin, vmax=vmax,
+                           **kw)
+        if HAVE_CARTOPY:
+            ax.coastlines(linewidth=0.4)
+    else:
+        im = ax.imshow(field, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
     ax.set_xticks([])
     ax.set_yticks([])
     return im
+
+
+def _coarsen_coords(lat, lon, field_shape):
+    """Block-average HR lat/lon down to a coarser field's grid (the LR
+    panels show avg-pooled fields, so their cell centers are the block means
+    of the HR cell centers)."""
+    fh, fw = field_shape[-2], field_shape[-1]
+    if lat.shape == (fh, fw):
+        return lat, lon
+    kh, kw = lat.shape[0] // fh, lat.shape[1] // fw
+    if kh < 1 or kw < 1 or lat.shape != (fh * kh, fw * kw):
+        raise ValueError(
+            f"lat/lon shape {lat.shape} incompatible with field {field_shape}"
+        )
+    pool = lambda a: a.reshape(fh, kh, fw, kw).mean(axis=(1, 3))  # noqa: E731
+    return pool(lat), pool(lon)
 
 
 def _save(fig, save_path):
@@ -74,10 +105,13 @@ def plot_batch(
     timestamps=None,
     max_items: int = 4,
     save_path: str | None = None,
+    lat=None, lon=None,
 ):
     """LR / prediction / HR / |error| grid per variable
     (reference src/climex_utils.py:288-439). Inputs are (B, h, w, C) /
-    (B, H, W, C) NHWC arrays in physical units."""
+    (B, H, W, C) NHWC arrays in physical units. ``lat``/``lon``: optional
+    (H, W) geographic coordinates — panels become geo-referenced pcolormesh
+    (reference src/climex_utils.py:354-363)."""
     lr, pred, hr = map(np.asarray, (lr, pred, hr))
     b = min(max_items, pred.shape[0])
     figs = {}
@@ -87,11 +121,11 @@ def plot_batch(
         vmax = max(hr[:b, ..., ci].max(), pred[:b, ..., ci].max())
         cmap = _CMAPS.get(var, "viridis")
         for i in range(b):
-            _imshow(axes[0, i], lr[i, ..., ci], cmap, vmin, vmax)
-            _imshow(axes[1, i], pred[i, ..., ci], cmap, vmin, vmax)
-            im = _imshow(axes[2, i], hr[i, ..., ci], cmap, vmin, vmax)
+            _imshow(axes[0, i], lr[i, ..., ci], cmap, vmin, vmax, lat, lon)
+            _imshow(axes[1, i], pred[i, ..., ci], cmap, vmin, vmax, lat, lon)
+            im = _imshow(axes[2, i], hr[i, ..., ci], cmap, vmin, vmax, lat, lon)
             err = np.abs(pred[i, ..., ci] - hr[i, ..., ci])
-            im_e = _imshow(axes[3, i], err, "Reds")
+            im_e = _imshow(axes[3, i], err, "Reds", lat=lat, lon=lon)
             if timestamps is not None:
                 axes[0, i].set_title(str(timestamps[i]), fontsize=7)
         for row, lab in enumerate(["LR", "pred", "HR", "|err|"]):
@@ -109,6 +143,7 @@ def plot_sample_batch(
     variables: Sequence[str] = ("pr", "tasmin", "tasmax"),
     max_items: int = 3,
     save_path: str | None = None,
+    lat=None, lon=None,
 ):
     """Ensemble-member grid: rows = [lrinterp?, HR, member_1..member_M]
     (reference src/climex_utils.py:442-613). samples: (B, M, H, W, C)."""
@@ -126,16 +161,16 @@ def plot_sample_batch(
             col = 0
             if lrinterp is not None:
                 _imshow(axes[i, col], np.asarray(lrinterp)[i, ..., ci],
-                        cmap, vmin, vmax)
+                        cmap, vmin, vmax, lat, lon)
                 if i == 0:
                     axes[i, col].set_title("lrinterp", fontsize=8)
                 col += 1
-            _imshow(axes[i, col], hr[i, ..., ci], cmap, vmin, vmax)
+            _imshow(axes[i, col], hr[i, ..., ci], cmap, vmin, vmax, lat, lon)
             if i == 0:
                 axes[i, col].set_title("HR", fontsize=8)
             for j in range(m):
                 im = _imshow(axes[i, col + 1 + j], samples[i, j, ..., ci],
-                             cmap, vmin, vmax)
+                             cmap, vmin, vmax, lat, lon)
                 if i == 0:
                     axes[i, col + 1 + j].set_title(f"member {j + 1}", fontsize=8)
         fig.colorbar(im, ax=axes, shrink=0.6,
@@ -150,6 +185,7 @@ def plot_residual_sample_batch(
     variables: Sequence[str] = ("pr", "tasmin", "tasmax"),
     max_items: int = 3,
     save_path: str | None = None,
+    lat=None, lon=None,
 ):
     """Residual-space ensemble grid (reference src/climex_utils.py:615-777):
     symmetric diverging colormap centered at 0."""
@@ -162,11 +198,12 @@ def plot_residual_sample_batch(
         fig, axes = _subplots(b, m + 1)
         for i in range(b):
             v = max(np.abs(t[i, ..., ci]).max(), np.abs(s[i, ..., ci]).max())
-            _imshow(axes[i, 0], t[i, ..., ci], "RdBu_r", -v, v)
+            _imshow(axes[i, 0], t[i, ..., ci], "RdBu_r", -v, v, lat, lon)
             if i == 0:
                 axes[i, 0].set_title("target residual", fontsize=8)
             for j in range(m):
-                im = _imshow(axes[i, 1 + j], s[i, j, ..., ci], "RdBu_r", -v, v)
+                im = _imshow(axes[i, 1 + j], s[i, j, ..., ci], "RdBu_r", -v, v,
+                             lat, lon)
                 if i == 0:
                     axes[i, 1 + j].set_title(f"member {j + 1}", fontsize=8)
         fig.colorbar(im, ax=axes, shrink=0.6)
@@ -180,6 +217,7 @@ def plot_residual_differences(
     variables: Sequence[str] = ("pr", "tasmin", "tasmax"),
     item: int = 0,
     save_path: str | None = None,
+    lat=None, lon=None,
 ):
     """Pairwise member differences for one item
     (reference src/climex_utils.py:779-870): (M, M) grid of member_i -
@@ -193,7 +231,8 @@ def plot_residual_differences(
         v = max(np.abs(diffs).max(), 1e-12)
         for i in range(m):
             for j in range(m):
-                im = _imshow(axes[i, j], diffs[i, j], "RdBu_r", -v, v)
+                im = _imshow(axes[i, j], diffs[i, j], "RdBu_r", -v, v,
+                             lat, lon)
         fig.colorbar(im, ax=axes, shrink=0.6)
         fig.suptitle(f"{var} — pairwise member differences")
         figs[var] = _save(fig, save_path and save_path.replace(".png", f"_{var}.png"))
@@ -278,15 +317,18 @@ def plot_histograms(
 
 
 def plot_return_levels(
-    analysis: dict,
+    analysis,
     observed_analysis: dict | None = None,
     label: str = "model",
     save_path: str | None = None,
 ):
     """Return-level curves with bootstrap CI + empirical points
     (test_return_levels.ipynb / compare_observed_vs_model_return_levels
-    .ipynb). ``analysis`` is :func:`probunet_tpu.evals.gev
-    .return_level_analysis` output."""
+    .ipynb cells 7-21). ``analysis`` is one
+    :func:`probunet_tpu.evals.gev.return_level_analysis` output, OR — for
+    the multi-model observed-vs-models overlay the comparison notebook draws
+    — a list of (analysis, label) pairs / a {label: analysis} dict, each
+    model on the same axes in its own color."""
     fig, ax = plt.subplots(figsize=(6, 4))
 
     def draw(a, name, color):
@@ -297,9 +339,21 @@ def plot_return_levels(
         ax.semilogx(a["empirical_return_periods"], a["empirical_levels"],
                     "o", ms=3, color=color, label=f"{name} empirical")
 
-    draw(analysis, label, "C0")
+    if isinstance(analysis, dict) and "return_periods" in analysis:
+        entries = [(analysis, label)]
+    elif isinstance(analysis, dict):
+        entries = list((a, name) for name, a in analysis.items())
+    else:  # sequence of analyses or (analysis, label) pairs
+        entries = []
+        for i, e in enumerate(analysis):
+            if isinstance(e, dict):
+                entries.append((e, f"model {i + 1}"))
+            else:
+                entries.append((e[0], e[1]))
+    for i, (a, name) in enumerate(entries):
+        draw(a, name, f"C{i % 9}")
     if observed_analysis is not None:
-        draw(observed_analysis, "observed", "C1")
+        draw(observed_analysis, "observed", "k")
     ax.set_xlabel("return period [years]")
     ax.set_ylabel("return level")
     ax.legend(fontsize=7)
@@ -330,4 +384,80 @@ def plot_latent_grid(
             im = _imshow(axes[i, j], d[i, j], "RdBu_r", -vmax, vmax)
     fig.colorbar(im, ax=axes, shrink=0.6)
     fig.suptitle(title)
+    return _save(fig, save_path)
+
+
+def plot_latent_joint_marginal(
+    scores: np.ndarray,
+    explained_variance_ratio=None,
+    bins: int = 80,
+    title_prefix: str = "Latent space (prior)",
+    save_path: str | None = None,
+):
+    """Fig5a: PC1 x PC2 joint hist2d with marginal histograms
+    (reference src/latent_exploration.py:50-79, called at :723).
+
+    scores: (N, >=2) PCA scores (or raw 2-D latents when D <= 2);
+    explained_variance_ratio: optional (>=2,) PCA EVR for the title.
+    """
+    s1, s2 = np.asarray(scores[:, 0]), np.asarray(scores[:, 1])
+    fig = plt.figure(figsize=(7.5, 7.5))
+    ax_joint = fig.add_axes([0.1, 0.1, 0.65, 0.65])
+    ax_right = fig.add_axes([0.78, 0.1, 0.17, 0.65], sharey=ax_joint)
+    ax_top = fig.add_axes([0.1, 0.78, 0.65, 0.17], sharex=ax_joint)
+
+    h = ax_joint.hist2d(s1, s2, bins=bins, cmap="viridis")
+    ax_joint.set_xlabel("PC1 score (s1)")
+    ax_joint.set_ylabel("PC2 score (s2)")
+    cb = fig.colorbar(h[3], ax=ax_joint, fraction=0.046, pad=0.04)
+    cb.set_label("Counts")
+
+    ax_top.hist(s1, bins=bins)
+    ax_right.hist(s2, bins=bins, orientation="horizontal")
+    plt.setp(ax_top.get_xticklabels(), visible=False)
+    plt.setp(ax_right.get_yticklabels(), visible=False)
+    ax_top.set_ylabel("Count")
+    ax_right.set_xlabel("Count")
+
+    if explained_variance_ratio is not None and len(explained_variance_ratio) >= 2:
+        evr = np.asarray(explained_variance_ratio)
+        fig.suptitle(
+            f"{title_prefix} — PC1: {evr[0] * 100:.1f}%  |  "
+            f"PC2: {evr[1] * 100:.1f}%", y=0.98,
+        )
+    else:
+        fig.suptitle(title_prefix, y=0.98)
+    return _save(fig, save_path)
+
+
+def plot_seasonal_maps(
+    seasonal: dict,
+    var: str,
+    stat: str = "mean",
+    lat=None, lon=None,
+    title: str | None = None,
+    save_path: str | None = None,
+):
+    """Season-column map row for one variable
+    (reference src/baseline/climex_utils.py:647-696 plot_grids_seasonal).
+
+    seasonal: :meth:`probunet_tpu.data.eda.ClimexEDA.seasonal_stats` output
+    {season: {stat: (H, W) map}}. Diverging colormap for temperature-like
+    variables, sequential from 0 for pr, mirroring the reference's rules.
+    """
+    seasons = list(seasonal)
+    fields = [np.asarray(seasonal[s][stat]) for s in seasons]
+    stack = np.stack(fields)
+    if var == "pr":
+        cmap, vmin, vmax = _CMAPS.get("pr", "Blues"), 0.0, stack.max()
+    else:
+        m = np.abs(stack).max()
+        cmap, vmin, vmax = "coolwarm", -m, m
+    fig, axes = _subplots(1, len(seasons), scale=3.0)
+    for j, (s, f) in enumerate(zip(seasons, fields)):
+        im = _imshow(axes[0, j], f, cmap, vmin, vmax, lat, lon)
+        axes[0, j].set_title(s, fontsize=12)
+    fig.colorbar(im, ax=axes, shrink=0.8,
+                 label=f"{var} [{_UNITS.get(var, '')}]")
+    fig.suptitle(title or f"{var} seasonal {stat}")
     return _save(fig, save_path)

@@ -59,13 +59,20 @@ def device_sync(x) -> float:
 class Throughput:
     """Steps/sec and samples/sec counter with warmup exclusion.
 
-    NOTE: call :func:`device_sync` on a step output before ``summary()`` —
-    otherwise the timed region may only cover async dispatch (see
-    device_sync docstring).
+    NOTE: on async backends BOTH ends of the window need a true device sync
+    (:func:`device_sync`; ``block_until_ready`` is not one on the axon
+    tunnel). Without them the warmup tail (including compile) leaks into the
+    measured window and the end may cover only dispatch. The honest pattern:
 
-    >>> tp = Throughput(batch_size=32, warmup_steps=2)
+    >>> tp = Throughput(batch_size=32)
+    >>> out = step(...); device_sync(out)     # warmup + compile, drained
+    >>> tp.start()                            # timer starts at a quiesced device
     >>> for batch in batches: out = step(...); tp.step()
     >>> device_sync(out); tp.summary()
+
+    The legacy mode (no ``start()``; the timer auto-starts at the
+    ``step()`` where count reaches ``warmup_steps``) remains, but measures
+    from host dispatch time of that step, not device completion.
     """
 
     def __init__(self, batch_size: int, warmup_steps: int = 2,
@@ -75,6 +82,12 @@ class Throughput:
         self.pixels_per_sample = pixels_per_sample
         self.count = 0
         self._t0 = None
+
+    def start(self):
+        """Start the measured window NOW (call right after a device_sync on
+        the last warmup step's output). Steps counted so far become warmup."""
+        self._t0 = time.perf_counter()
+        self._measured_from = self.count
 
     def step(self, n: int = 1):
         self.count += n

