@@ -95,6 +95,9 @@ def main() -> None:
     # (use train.accum for larger effective batches).
     if not on_cpu:
         cfg.train.batch_size = int(os.environ.get("BENCH_BS", "128"))
+    # BENCH_REMAT=1 checkpoints every UNet block (O(depth) less activation
+    # memory for ~1 extra fwd of FLOPs) — the lever that admits bs>=256
+    cfg.train.remat = os.environ.get("BENCH_REMAT", "0") == "1"
     if mode == "ensemble" and not on_cpu:
         # 16 members x bs=128 x f32 HR reconstruction exceeds 16G HBM by
         # ~260M; 64x16 member-fields per generation fills the chip fine
@@ -130,6 +133,7 @@ def main() -> None:
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
+        remat=cfg.train.remat,
     )
     x = jnp.zeros((b, res[0], res[1], cfg.model.input_channels), jnp.float32)
     y = jnp.zeros((b, res[0], res[1], cfg.model.num_classes), jnp.float32)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from probunet_tpu.models.fcomb import Fcomb
@@ -179,11 +180,33 @@ class ProbabilisticUNet(nn.Module):
             if M < 2:
                 raise ValueError(f"M must be >= 2 for {loss_type}, got {M}")
             zs = posterior.rsample(key, sample_shape=(M,))      # (M, B, D)
-            ensemble = self.fcomb.ensemble(feats, zs)           # (B, M, H, W, K)
-            if loss_type == "afcrps":
-                recon = afcrps_loss(ensemble, target, alpha=alpha)
+            from probunet_tpu.ops.pallas.fcomb_crps import (
+                fused_elbo_enabled, fused_fcomb_crps_loss,
+            )
+
+            if fused_elbo_enabled():
+                # fused fcomb-decode + CRPS kernel: never materializes the
+                # (B, M, H, W, K) ensemble or the (M, B, H, W, C) hiddens
+                # (ops/pallas/fcomb_crps.py; numerics-identical)
+                fc = self.fcomb
+                fc_params = {
+                    "layer0_weight": fc.layer0_weight,
+                    "layer0_bias": fc.layer0_bias,
+                    "layer1_weight": fc.layer1_weight,
+                    "layer1_bias": fc.layer1_bias,
+                    "layer2_weight": fc.layer2_weight,
+                    "layer2_bias": fc.layer2_bias,
+                }
+                recon = fused_fcomb_crps_loss(
+                    feats, zs, fc_params, target, loss_type, alpha,
+                    "bfloat16" if self.dtype == jnp.bfloat16 else "float32",
+                )
             else:
-                recon = crps_loss(ensemble, target)
+                ensemble = self.fcomb.ensemble(feats, zs)       # (B, M, H, W, K)
+                if loss_type == "afcrps":
+                    recon = afcrps_loss(ensemble, target, alpha=alpha)
+                else:
+                    recon = crps_loss(ensemble, target)
             total = beta_0 * recon + beta_1 * kl.mean()
         elif loss_type == "mse+ssim":
             # reference WMSE-MS-SSIM ELBO (src/prob_unet.py:229-267): M draws,

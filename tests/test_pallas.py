@@ -87,3 +87,117 @@ def test_afcrps_loss_uses_kernel_when_forced(monkeypatch):
     monkeypatch.setenv("PROBUNET_CRPS_IMPL", "xla")
     v_xla = float(losses.afcrps_loss(ens, tgt))
     np.testing.assert_allclose(v_kernel, v_xla, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused fcomb-decode + CRPS kernel (ops/pallas/fcomb_crps.py)
+# ---------------------------------------------------------------------------
+
+class TestFusedFcombCrps:
+    def _setup(self, b=2, h=8, w=12, c=16, d=8, k=3, m=5, seed=0):
+        from probunet_tpu.models.fcomb import Fcomb
+
+        fc = Fcomb(unet_output_channels=c, latent_dim=d, num_classes=k)
+        feats = jax.random.normal(jax.random.key(seed + 1), (b, h, w, c))
+        zs = jax.random.normal(jax.random.key(seed + 2), (m, b, d))
+        tgt = jax.random.normal(jax.random.key(seed + 3), (b, h, w, k))
+        params = fc.init({"params": jax.random.key(seed)}, feats, zs[0])[
+            "params"]
+        return fc, params, feats, zs, tgt
+
+    @pytest.mark.parametrize("loss_type,m", [("afcrps", 2), ("afcrps", 5),
+                                             ("crps", 5), ("afcrps", 15)])
+    def test_fwd_matches_unfused(self, loss_type, m):
+        from probunet_tpu.models.fcomb import Fcomb
+        from probunet_tpu.ops.losses import afcrps_loss, crps_loss
+        from probunet_tpu.ops.pallas.fcomb_crps import fused_fcomb_crps_loss
+
+        fc, params, feats, zs, tgt = self._setup(m=m, seed=m)
+        ens = fc.apply({"params": params}, feats, zs, method=Fcomb.ensemble)
+        ref = (afcrps_loss(ens, tgt) if loss_type == "afcrps"
+               else crps_loss(ens, tgt))
+        got = fused_fcomb_crps_loss(feats, zs, params, tgt, loss_type,
+                                    compute_dtype="float32")
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    def test_grads_match_unfused(self):
+        from probunet_tpu.models.fcomb import Fcomb
+        from probunet_tpu.ops.losses import afcrps_loss
+        from probunet_tpu.ops.pallas.fcomb_crps import fused_fcomb_crps_loss
+
+        fc, params, feats, zs, tgt = self._setup()
+
+        def unfused(p, f, z, t):
+            ens = fc.apply({"params": p}, f, z, method=Fcomb.ensemble)
+            return afcrps_loss(ens, t)
+
+        def fused(p, f, z, t):
+            return fused_fcomb_crps_loss(f, z, p, t, "afcrps",
+                                         compute_dtype="float32")
+
+        g_ref = jax.grad(unfused, argnums=(0, 1, 2, 3))(params, feats, zs, tgt)
+        g_new = jax.grad(fused, argnums=(0, 1, 2, 3))(params, feats, zs, tgt)
+        for a, b_ in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_bf16_close_to_f32(self):
+        from probunet_tpu.ops.pallas.fcomb_crps import fused_fcomb_crps_loss
+
+        _, params, feats, zs, tgt = self._setup(seed=7)
+        f32 = float(fused_fcomb_crps_loss(feats, zs, params, tgt, "afcrps",
+                                          compute_dtype="float32"))
+        bf16 = float(fused_fcomb_crps_loss(feats, zs, params, tgt, "afcrps",
+                                           compute_dtype="bfloat16"))
+        assert abs(f32 - bf16) / abs(f32) < 0.05
+
+    def test_nondivisible_pixels_masked(self):
+        # P = 8*12 = 96 is not a multiple of the 2048 tile: the padded
+        # region decodes to relu(z_part) != 0 and MUST be masked out
+        from probunet_tpu.models.fcomb import Fcomb
+        from probunet_tpu.ops.losses import afcrps_loss
+        from probunet_tpu.ops.pallas.fcomb_crps import fused_fcomb_crps_loss
+
+        fc, params, feats, zs, tgt = self._setup(h=5, w=7, seed=11)
+        ens = fc.apply({"params": params}, feats, zs, method=Fcomb.ensemble)
+        ref = float(afcrps_loss(ens, tgt))
+        got = float(fused_fcomb_crps_loss(feats, zs, params, tgt, "afcrps",
+                                          compute_dtype="float32"))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_elbo_fused_matches_unfused(self, monkeypatch):
+        """The PROBUNET_FUSED_ELBO=1 path of ProbabilisticUNet.elbo equals
+        the materialized-ensemble path (value and params-grad)."""
+        from probunet_tpu.models.prob_unet import ProbabilisticUNet
+
+        model = ProbabilisticUNet(
+            input_channels=2, num_classes=2, latent_dim=4,
+            num_filters=(8, 16), model_channels=16, channel_mult=(1, 2),
+            img_resolution=(32, 32), num_blocks=1, dropout=0.0,
+        )
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        y = jax.random.normal(jax.random.key(1), (2, 32, 32, 2))
+        variables = model.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)}, x, y
+        )
+
+        def elbo(p, fused):
+            monkeypatch.setenv("PROBUNET_FUSED_ELBO", "1" if fused else "0")
+            total, metrics = model.apply(
+                {"params": p}, x, y, M=3, loss_type="afcrps",
+                beta_0=1.0, beta_1=0.1, training=True,
+                method=ProbabilisticUNet.elbo,
+                rngs={"latent": jax.random.key(4),
+                      "dropout": jax.random.key(5)},
+            )
+            return total
+
+        v_un = float(elbo(variables["params"], False))
+        v_fu = float(elbo(variables["params"], True))
+        np.testing.assert_allclose(v_fu, v_un, rtol=1e-5)
+
+        g_un = jax.grad(lambda p: elbo(p, False))(variables["params"])
+        g_fu = jax.grad(lambda p: elbo(p, True))(variables["params"])
+        for a, b_ in zip(jax.tree.leaves(g_un), jax.tree.leaves(g_fu)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=5e-4, atol=1e-6)
