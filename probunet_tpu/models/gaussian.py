@@ -96,6 +96,10 @@ class AxisAlignedConvGaussian(nn.Module):
     def __call__(self, x, target=None) -> DiagGaussian:
         if self.posterior and target is not None:
             x = jnp.concatenate([x, target], axis=-1)
+        if self.dtype is not None:
+            # compute-dtype residual stream (see models/unet.py rationale);
+            # mu/log_sigma are cast back to f32 below
+            x = x.astype(self.dtype)
 
         for i, filters in enumerate(self.num_filters):
             if i != 0:
@@ -110,4 +114,8 @@ class AxisAlignedConvGaussian(nn.Module):
         log_sigma = _Conv3x3(
             self.latent_dim, kernel=1, dtype=self.dtype, name="conv_log_sigma"
         )(h)
-        return DiagGaussian(mu=mu[:, 0, 0, :], log_sigma=log_sigma[:, 0, 0, :])
+        # distribution parameters in f32 (rsample/KL stability)
+        return DiagGaussian(
+            mu=mu[:, 0, 0, :].astype(jnp.float32),
+            log_sigma=log_sigma[:, 0, 0, :].astype(jnp.float32),
+        )

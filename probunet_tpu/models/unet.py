@@ -95,6 +95,13 @@ class UNet(nn.Module):
             nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
         )
         b = x.shape[0]
+        # Residual stream in the COMPUTE dtype: with dtype=bf16 every conv
+        # output is already bf16-rounded (preferred_element_type, see
+        # layers.EDMConv) — storing it f32 doubles activation HBM traffic
+        # for zero extra information. Cast once here, back at the output.
+        out_dtype = x.dtype
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         # ---- Mapping (reference src/networks.py:310-317 and
         #      src/baseline/deterministic_unet.py:300-317) ----
@@ -195,7 +202,7 @@ class UNet(nn.Module):
         x = EDMGroupNorm(name="out_norm", dtype=self.dtype)(x, silu=True)
         x = EDMConv(
             self.out_channels, 3, init=INIT_ZERO, dtype=self.dtype, name="out_conv"
-        )(x)
+        )(x).astype(out_dtype)
         if return_skips:
             return x, skips_postunet
         return x

@@ -34,7 +34,7 @@ try:
     import cartopy.crs as ccrs
     HAVE_CARTOPY = True
     CLIMEX_CRS = ccrs.RotatedPole(pole_longitude=83.0, pole_latitude=42.5)
-except ImportError:  # pragma: no cover
+except Exception:  # pragma: no cover - missing OR stubbed/broken cartopy
     ccrs = None
     HAVE_CARTOPY = False
     CLIMEX_CRS = None

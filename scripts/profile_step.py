@@ -23,13 +23,17 @@ def sync(x):
 
 
 def timeit(name, fn, *args, n=10):
-    out = fn(*args)
-    sync(out if not isinstance(out, tuple) else out[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
+    try:
         out = fn(*args)
-    sync(out if not isinstance(out, tuple) else out[0])
-    dt = (time.perf_counter() - t0) / n
+        sync(out if not isinstance(out, tuple) else out[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        sync(out if not isinstance(out, tuple) else out[0])
+        dt = (time.perf_counter() - t0) / n
+    except Exception as e:  # keep profiling the remaining components
+        print(f"{name:<28s}   FAILED ({type(e).__name__})")
+        return None
     print(f"{name:<28s} {dt * 1e3:9.2f} ms")
     return dt
 
@@ -82,16 +86,17 @@ def main():
         {"params": p}, a, train=False,
         method=lambda mdl, v, **kw: mdl.unet(v, **kw)))(params, inputs)
     zs = jax.random.normal(key, (m, bs, 32), jnp.float32)
-    fcomb_dec = jax.jit(lambda p, f, z: model.apply(
-        {"params": p}, f, z, method=ProbabilisticUNet.decode))
-    timeit("fcomb ensemble decode", fcomb_dec, params, feats, zs)
+    # fused fcomb-decode + CRPS kernel (ops/pallas/fcomb_crps.py)
+    from probunet_tpu.ops.pallas.fcomb_crps import fused_fcomb_crps_loss
 
-    ens = fcomb_dec(params, feats, zs)
-    ens = jnp.swapaxes(ens, 0, 1) if ens.shape[0] == m else ens
-    loss_sorted = jax.jit(lambda e, t: afcrps_loss(e, t))
-    timeit("afcrps (sorted form)", loss_sorted, ens, targets)
-    loss_pair = jax.jit(lambda e, t: afcrps_loss_pairwise(e, t))
-    timeit("afcrps (pairwise form)", loss_pair, ens, targets)
+    fc_params = {k: v for k, v in params["fcomb"].items()}
+    zsf = jnp.swapaxes(zs, 0, 1) if zs.shape[0] == bs else zs  # (M, B, D)
+    fused_fwd = jax.jit(lambda f, z, t: fused_fcomb_crps_loss(
+        f, z, fc_params, t, "afcrps", compute_dtype="bfloat16"))
+    timeit("fused fcomb+afcrps fwd", fused_fwd, feats, zsf, targets)
+    fused_grad = jax.jit(jax.grad(lambda f, z, t: fused_fcomb_crps_loss(
+        f, z, fc_params, t, "afcrps", compute_dtype="bfloat16")))
+    timeit("fused fcomb+afcrps grad", fused_grad, feats, zsf, targets)
 
     prep = jax.jit(lambda h: preprocess_batch(
         h, stats, cfg.data.pipeline, cfg.data.lowres_scale)["targets"])
@@ -119,6 +124,24 @@ def main():
     b0, b1 = jnp.float32(1.0), jnp.float32(1e-3)
     timeit("full train step", lambda s, h: step(s, h, stats, b0, b1)[1][
         "grad_norm"], state, hr)
+
+    # unfused fcomb decode + loss — OFF the training path since the fused
+    # kernel (ops/pallas/fcomb_crps.py); timed last because its peak HBM at
+    # bs=128 can exhaust the chip and poison subsequent dispatches
+    fcomb_dec = jax.jit(lambda p, f, z: model.apply(
+        {"params": p}, f, z, method=ProbabilisticUNet.decode))
+    timeit("fcomb ensemble decode", fcomb_dec, params, feats, zs)
+
+    try:
+        ens = fcomb_dec(params, feats, zs)
+        ens = jnp.swapaxes(ens, 0, 1) if ens.shape[0] == m else ens
+        loss_sorted = jax.jit(lambda e, t: afcrps_loss(e, t))
+        timeit("afcrps (sorted form)", loss_sorted, ens, targets)
+        loss_pair = jax.jit(lambda e, t: afcrps_loss_pairwise(e, t))
+        timeit("afcrps (pairwise form)", loss_pair, ens, targets)
+        del ens
+    except Exception as e:
+        print(f"unfused afcrps timings skipped ({type(e).__name__})")
 
 
 if __name__ == "__main__":

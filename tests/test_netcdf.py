@@ -88,6 +88,13 @@ class _FakeDataset:
         )
 
     def __getitem__(self, variables):
+        if isinstance(variables, str):
+            # real xarray: string key returns the (coordinate) DataArray
+            if variables == "lat" and self.lat is not None:
+                return self.lat
+            if variables == "lon" and self.lon is not None:
+                return self.lon
+            return self._data[variables]
         if not isinstance(variables, list):
             raise TypeError("fake xarray expects a list of variable names")
         return _FakeDataset({v: self._data[v] for v in variables},

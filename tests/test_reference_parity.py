@@ -23,6 +23,9 @@ import jax.numpy as jnp
 REF = "/root/reference/src"
 
 
+_INJECTED_STUBS: set = set()
+
+
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
@@ -30,7 +33,18 @@ def _stub(name, **attrs):
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
+    _INJECTED_STUBS.add(name)
     return mod
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cleanup_stubs():
+    """Remove injected import stubs so later tests in the same process see
+    honest ImportErrors (e.g. utils/plotting's cartopy probe)."""
+    yield
+    for name in _INJECTED_STUBS:
+        sys.modules.pop(name, None)
+    _INJECTED_STUBS.clear()
 
 
 def _import_ref_prob_unet_utils():
