@@ -63,7 +63,12 @@ SEED = 0
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # torch._dynamo.trace_rules walks sys.modules with find_spec(), which
+    # raises on modules whose __spec__ is None — give stubs a real spec
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -158,7 +163,7 @@ def run_reference(hr_train, hr_val, num_epochs, bs):
             total = self.beta_0 * crps + self.beta_1 * kl_div.mean()
             return total, [crps.item()], kl_div
 
-    torch.manual_seed(SEED)
+    torch.manual_seed(int(os.environ.get("AB_MODEL_SEED", SEED)))
     model = AfCRPSProbUNet(
         input_channels=len(VARS), num_classes=len(VARS), latent_dim=LATENT,
         num_filters=NUM_FILTERS, model_channels=MODEL_CHANNELS,
@@ -227,7 +232,9 @@ def run_ours(hr_train, hr_val, num_epochs, bs):
     cfg.loss.loss_type = "afcrps"
     cfg.loss.warmup_epochs = WARMUP
     cfg.loss.max_beta_1 = MAX_BETA_1
-    cfg.train.seed = SEED
+    # AB_MODEL_SEED varies init/shuffle/sampling only (data seeds fixed) —
+    # used to measure the seed-noise band the curve offset is judged against
+    cfg.train.seed = int(os.environ.get("AB_MODEL_SEED", SEED))
 
     ds_train = ClimexDataset(hr=hr_train, pipeline=cfg.data.pipeline,
                              lowres_scale=SCALE, variables=VARS,
@@ -309,13 +316,16 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     hr_train, hr_val = make_data()
 
+    tag = ""
+    if os.environ.get("AB_MODEL_SEED", str(SEED)) != str(SEED):
+        tag = f"_seed{os.environ['AB_MODEL_SEED']}"
     if args.side in ("both", "reference"):
         ref = run_reference(hr_train, hr_val, args.epochs, args.bs)
-        with open(os.path.join(OUT, "reference_curves.json"), "w") as f:
+        with open(os.path.join(OUT, f"reference_curves{tag}.json"), "w") as f:
             json.dump(ref, f, indent=1)
     if args.side in ("both", "ours"):
         ours = run_ours(hr_train, hr_val, args.epochs, args.bs)
-        with open(os.path.join(OUT, "ours_curves.json"), "w") as f:
+        with open(os.path.join(OUT, f"ours_curves{tag}.json"), "w") as f:
             json.dump(ours, f, indent=1)
 
     rp = os.path.join(OUT, "reference_curves.json")
