@@ -152,20 +152,68 @@ class EDMConv(nn.Module):
         return y.astype(x.dtype)
 
 
+def _gn_impl() -> str:
+    """Which implementation computes GN chains: "xla" (the default on every
+    backend) or "pallas" (the fused kernel, opt-in via PROBUNET_GN_IMPL).
+
+    The fused chain kernel (ops/pallas/fused_gn.py) was RETIRED as a default
+    with round-3 v5e measurements (scripts/profile_block.py, bs=128 bf16):
+    at 128x128xC32 — the dominant level — the full UNetBlock f+b ran
+    12.81 ms under the kernel vs 9.03 ms under XLA (isolated chain f+b
+    7.62 vs 3.34 ms), and the flagship train step does not compile at all:
+    the decoder's 128x128 concat block (C=64 -> k*C=128, 8192 rows) needs
+    20.7 MB of scoped VMEM against the 16 MB limit. XLA's own GN fusion
+    wins outright on this op family, like the round-1 GN+SiLU kernel
+    (2.0 vs 0.5 ms). The kernel stays importable and tested (interpret
+    mode) as the measured record.
+
+    Value captured at TRACE time (jit caches keep the first-traced impl).
+    """
+    import os
+
+    return os.environ.get("PROBUNET_GN_IMPL", "xla")
+
+
+class _GNScaleBias(nn.Module):
+    """GN affine params with nn.GroupNorm-identical tree (gn/{scale,bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class EDMGroupNorm(nn.Module):
     """GroupNorm with adaptive group count (reference src/networks.py:97-107).
 
-    ``__call__(x, silu=True)`` fuses the SiLU that always follows GN on the
-    UNetBlock hot path into the same XLA fusion. A hand-written Pallas
-    GN+SiLU kernel was built and retired with data: at its best-case shape
-    (64x64xC32, the largest whose one-pass block fits scoped VMEM) it ran
-    2.0 ms/op vs XLA's 0.5 ms, and at the flagship 128x128 shape it could
-    not compile at all (32M scoped-VMEM stack vs the 16M limit) — XLA's
-    fused GN wins outright on this op.
+    ``__call__(x, silu=True, film=(scale, shift), drop_p=p, drop_rng=key)``
+    evaluates the whole UNetBlock inter-conv chain
 
-    ``dtype`` sets the normalize/scale/shift compute dtype; flax computes
-    the statistics in f32 regardless, and bf16 halves the HBM traffic of
-    this memory-bound op (measured -37 ms on the flagship train step).
+        dropout(silu((gn(x)*gamma + beta) * (scale+1) + shift))
+
+    through one XLA fusion by default, or through the fused Pallas kernel
+    (ops/pallas/fused_gn.py) with PROBUNET_GN_IMPL=pallas. Both paths share
+    an identical parameter tree (gn/{scale,bias}), so checkpoints are
+    interchangeable.
+
+    Two generations of hand-written GN kernels now LOST to XLA's own GN
+    fusion and are retired as defaults, each with data: round 1's GN+SiLU
+    kernel (2.0 vs 0.5 ms at 64x64xC32, VMEM blow-up at 128x128) and
+    round 3's lane-packed whole-chain kernel with analytic backward
+    (block f+b 12.81 vs 9.03 ms at the dominant 128x128xC32 level;
+    scoped-VMEM OOM on the flagship decoder concat block — see
+    ``_gn_impl``). The one-HBM-pass-per-direction argument underestimated
+    XLA: its GN fusion chains the reduce into the preceding conv's
+    epilogue and recomputes cheap elementwise in the backward, so the
+    measured traffic gap never materialized.
+
+    ``dtype`` sets the XLA path's normalize compute dtype; statistics are
+    f32 in both paths.
     """
 
     num_groups: int = 32
@@ -174,12 +222,41 @@ class EDMGroupNorm(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, silu: bool = False):
+    def __call__(self, x, silu: bool = False, film=None, drop_p: float = 0.0,
+                 drop_rng=None):
         c = x.shape[-1]
         groups = min(self.num_groups, c // self.min_channels_per_group)
+
+        if _gn_impl() == "pallas" and x.ndim == 4:
+            from probunet_tpu.ops.pallas import fused_gn
+
+            if fused_gn.supported(x.shape[1], x.shape[2], c, groups):
+                gamma, beta = _GNScaleBias(features=c, name="gn")()
+                bsz = x.shape[0]
+                if film is None:
+                    scale = jnp.zeros((bsz, c), jnp.float32)
+                    shift = scale
+                else:
+                    scale, shift = film
+                if drop_p > 0.0:
+                    kd = jax.random.key_data(drop_rng).ravel()
+                    seed2 = kd[:2].astype(jnp.int32)
+                else:
+                    seed2 = jnp.zeros((2,), jnp.int32)
+                return fused_gn.gn_film_silu_dropout(
+                    x, gamma, beta, scale, shift, seed2,
+                    groups, self.eps, float(drop_p), bool(silu))
+
         y = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
                          dtype=self.dtype, name="gn")(x)
-        return nn.silu(y) if silu else y
+        if film is not None:
+            scale, shift = film
+            y = shift[:, None, None, :] + y * (scale[:, None, None, :] + 1)
+        y = nn.silu(y) if silu else y
+        if drop_p > 0.0:
+            keep = jax.random.bernoulli(drop_rng, 1.0 - drop_p, y.shape)
+            y = jnp.where(keep, y / (1.0 - drop_p), 0).astype(y.dtype)
+        return y
 
 
 class PositionalEmbedding(nn.Module):
@@ -265,16 +342,20 @@ class UNetBlock(nn.Module):
             out * (2 if self.adaptive_scale else 1), init=self.init,
             dtype=self.dtype, name="affine",
         )(emb)
-        params = params[:, None, None, :]  # (B, 1, 1, C or 2C)
+        # FiLM + SiLU + dropout evaluated by EDMGroupNorm as ONE chain
+        # (XLA composition by default; PROBUNET_GN_IMPL=pallas opts into the
+        # retired fused kernel — see _gn_impl for the measurements)
+        drop_p = self.dropout if train else 0.0
+        drop_rng = self.make_rng("dropout") if drop_p > 0.0 else None
         if self.adaptive_scale:
-            scale, shift = jnp.split(params, 2, axis=-1)
-            x = nn.silu(shift + EDMGroupNorm(
-                eps=self.eps, name="norm1", dtype=self.dtype)(x) * (scale + 1))
+            scale, shift = jnp.split(params, 2, axis=-1)  # (B, C) each
+            x = EDMGroupNorm(eps=self.eps, name="norm1", dtype=self.dtype)(
+                x, silu=True, film=(scale, shift), drop_p=drop_p,
+                drop_rng=drop_rng)
         else:
-            x = nn.silu(EDMGroupNorm(
-                eps=self.eps, name="norm1", dtype=self.dtype)(x + params))
-
-        x = nn.Dropout(self.dropout, name="drop")(x, deterministic=not train)
+            x = EDMGroupNorm(eps=self.eps, name="norm1", dtype=self.dtype)(
+                x + params[:, None, None, :], silu=True, drop_p=drop_p,
+                drop_rng=drop_rng)
         x = EDMConv(out, 3, init=self.init_zero, dtype=self.dtype, name="conv1")(x)
 
         if out != in_channels or self.up or self.down:

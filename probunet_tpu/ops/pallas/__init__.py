@@ -10,8 +10,21 @@ keep against XLA's own fusion:
   best fused formulation in-step (270 vs 273 ms flagship train step) while
   guaranteeing the gradient never routes through a sort/scatter (the
   naively-differentiated sorted form costs 577 ms in backward alone).
+- :func:`fused_fcomb_crps_loss` (fcomb_crps.py) — the M-member fcomb decode
+  fused into the CRPS reduction; never materializes the (B,M,H,W,C)
+  ensemble or its backward temps (484 -> 535 samples/s flagship).
 
-Retired with measurements (round 2, v5e honest timing):
+Retired with measurements (v5e honest timing):
+
+- :func:`gn_film_silu_dropout` (fused_gn.py, round 3) — the whole UNetBlock
+  inter-conv GN/FiLM/SiLU/dropout chain, lane-packed for C < 128, analytic
+  backward, in-kernel stateless dropout PRNG. Correct (15 oracle tests) but
+  SLOWER than XLA's own GN fusion at block scope: UNetBlock f+b 12.81 ms
+  (kernel) vs 9.03 ms (XLA) at the dominant 128x128xC32 bs=128 shape
+  (isolated chain f+b 7.62 vs 3.34 ms), and the flagship train step fails
+  to compile — the decoder's 128x128 concat block needs 20.7 MB scoped
+  VMEM vs the 16 MB limit (scripts/profile_block.py). Kept importable and
+  tested as the measured record; opt-in via PROBUNET_GN_IMPL=pallas.
 
 - fcomb decode kernel — XLA's fusion of the concat-free split-matmul
   formulation (models.fcomb) ran the bs=64 M=15 ensemble decode in 8.7 ms
@@ -27,5 +40,6 @@ used by the CPU test suite).
 """
 
 from probunet_tpu.ops.pallas.afcrps import ensemble_crps_terms
+from probunet_tpu.ops.pallas.fused_gn import gn_film_silu_dropout
 
-__all__ = ["ensemble_crps_terms"]
+__all__ = ["ensemble_crps_terms", "gn_film_silu_dropout"]
