@@ -197,12 +197,22 @@ def main() -> None:
         _sync(acc)
         dt = time.perf_counter() - t0
         member_fields_per_sec = n_reps * nb * b * m_members / dt
-        print(json.dumps({
+        result = {
             "metric": "ensemble16_member_fields_per_sec_128x128",
             "value": round(member_fields_per_sec, 2),
             "unit": "member-fields/s",
             "vs_baseline": round(member_fields_per_sec / BASELINE_ENSEMBLE, 3),
-        }))
+        }
+        # FLOPs from the single-batch gen step (lowering the scan-chained
+        # epoch would count the loop body ONCE — XLA's cost analysis does
+        # not multiply while-loop bodies by trip count)
+        flops = _flops_per_step(
+            gen.lower(state.params, batches[0], key).compile())
+        if flops is not None:
+            result["flops_per_batch"] = flops
+            result["mfu_vs_v5e_bf16_peak"] = round(
+                flops * nb / (dt / n_reps) / V5E_BF16_PEAK_FLOPS, 4)
+        print(json.dumps(result))
         return
 
     if mode == "eval":
@@ -234,12 +244,21 @@ def main() -> None:
         _sync(acc)
         dt = time.perf_counter() - t0
         samples_per_sec = n_reps * nb * b / dt
-        print(json.dumps({
+        result = {
             "metric": f"eval_samples_per_sec_128x128_elbo_M5_bs{b}",
             "value": round(samples_per_sec, 2),
             "unit": "samples/s",
             "vs_baseline": round(samples_per_sec / BASELINE_EVAL, 3),
-        }))
+        }
+        # FLOPs from the single-batch eval step (the scan-chained epoch's
+        # cost analysis counts the loop body once, not x trip count)
+        flops = _flops_per_step(
+            eval_step.lower(state.params, key, batches[0], stats).compile())
+        if flops is not None:
+            result["flops_per_batch"] = flops
+            result["mfu_vs_v5e_bf16_peak"] = round(
+                flops * nb / (dt / n_reps) / V5E_BF16_PEAK_FLOPS, 4)
+        print(json.dumps(result))
         return
 
     # train-step modes (default afCRPS M=15, or msssim M=1)
