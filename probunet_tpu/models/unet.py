@@ -263,11 +263,11 @@ class PostUNetWithSkips(nn.Module):
                 conv_skip = EDMConv(
                     skip_channels, 3, name=f"post{lvl}_skipconv{i}", dtype=self.dtype
                 )(up_skip)
-                x = jnp.concatenate([x, nn.silu(conv_skip)], axis=-1)
+                # skip_in form: the concat never materializes (UNetBlock)
                 x = UNetBlock(
                     out_channels=base // 2**lvl, init=INIT_DEFAULT,
                     name=f"post{lvl}_block{i}", dtype=self.dtype,
-                )(x, emb, train)
+                )(x, emb, train, nn.silu(conv_skip))
 
         x = EDMGroupNorm(name="out_norm")(x)
         return EDMConv(self.out_channels, 3, name="out_conv", dtype=self.dtype)(

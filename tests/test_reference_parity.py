@@ -51,8 +51,14 @@ def _import_ref_prob_unet_utils():
     if REF not in sys.path:
         sys.path.insert(0, REF)
     # ms_ssim stubbed to a constant: the WMSE component and the combination
-    # algebra are what we pin here (our MS-SSIM has its own scipy oracle test)
-    _stub("pytorch_msssim", ms_ssim=lambda *a, **k: torch.tensor(0.25))
+    # algebra are what we pin here (our MS-SSIM has its own scipy oracle test).
+    # Another test file (test_models.py) may have stubbed pytorch_msssim with
+    # a None-returning ms_ssim and already imported prob_unet_utils against
+    # it — force OUR stub's attribute and re-import so the from-import
+    # rebinds (test-order isolation).
+    mod = _stub("pytorch_msssim", ms_ssim=None)
+    mod.ms_ssim = lambda *a, **k: torch.tensor(0.25)
+    sys.modules.pop("prob_unet_utils", None)
     import prob_unet_utils  # type: ignore
 
     return prob_unet_utils
