@@ -85,16 +85,16 @@ def main() -> None:
         cfg.train.batch_size = 8
         cfg.train.ensemble_size = 4
     # A/B knobs: BENCH_DTYPE=float32 for the f32 step;
-    # PROBUNET_CRPS_IMPL=xla swaps the afCRPS Pallas kernel for the XLA
-    # formulation (they tie in-step: 270 vs 273 ms at bs=128; the kernel is
-    # the default for its analytic, sort-free backward).
+    # PROBUNET_CRPS_IMPL=xla swaps the Pallas CRPS kernels (the fused
+    # fcomb-CRPS ELBO AND the plain afCRPS terms kernel — see
+    # fcomb_crps.fused_elbo_enabled) for the XLA formulation.
     cfg.model.compute_dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     # bs=32 is the reference's setting (it measured 123 samples/s there);
-    # one v5e chip is occupancy-bound at bs=32 (5.1ms/step regardless of
-    # batch up to 128), so the shipped default fills the chip: bs=128 ->
-    # ~23.4k samples/s vs ~6.9k at bs=32. BENCH_BS=32 reproduces the
-    # strictly matched-config comparison. bs=256 exceeds 16G HBM at M=15
-    # (use train.accum for larger effective batches).
+    # the shipped default fills the chip: bs=128 -> 651 samples/s vs 257 at
+    # bs=32 (honest host-read timing). BENCH_BS=32 reproduces the strictly
+    # matched-config comparison. bs=256 exceeds 16G HBM at M=15 un-rematted
+    # and loses rematted (522); use train.accum for larger effective
+    # batches.
     if not on_cpu:
         cfg.train.batch_size = int(os.environ.get("BENCH_BS", "128"))
     # BENCH_REMAT=1 checkpoints every UNet block (O(depth) less activation
@@ -179,8 +179,11 @@ def main() -> None:
             def body(carry, inp):
                 hr_b, i = inp
                 out = gen(params, hr_b, jax.random.fold_in(key, i))
-                # checksum keeps every member-field live in the chain
-                return (carry + jnp.ravel(out)[0].astype(jnp.float32)
+                # FULL reduction: a single-element checksum would let XLA
+                # slice-push/DCE the other members' decode out of the
+                # measured window (code-review r3 finding); the sum makes
+                # every member-field a live dependency at negligible cost
+                return (carry + jnp.sum(out.astype(jnp.float32))
                         ).astype(jnp.float32), None
 
             acc, _ = jax.lax.scan(

@@ -119,6 +119,25 @@ def _crps_terms(ens: jax.Array, tgt: jax.Array):
     return t1, _ensemble_spread_sum(ens)
 
 
+def afcrps_from_terms(t1: jax.Array, t2: jax.Array, m: int, p: int,
+                      alpha: float = 0.95) -> jax.Array:
+    """Batch-mean afCRPS from per-batch terms (t1, t2) — the single home of
+    the combination algebra (reference src/prob_unet_utils.py:171-234),
+    shared by :func:`afcrps_loss` and the fused fcomb-CRPS kernel
+    (ops/pallas/fcomb_crps.py) so the two paths cannot drift."""
+    eps = (1.0 - alpha) / m
+    total = 2.0 * (m - 1) * t1 - (1.0 - eps) * 2.0 * t2
+    return (total / (2.0 * m * (m - 1)) / p).mean()
+
+
+def crps_from_terms(t1: jax.Array, t2: jax.Array, m: int, p: int) -> jax.Array:
+    """Batch-mean ensemble CRPS from per-batch terms (t1, t2) — shared
+    combination algebra (reference src/prob_unet_utils.py:237-268)."""
+    first = t1 / m
+    second = 2.0 * t2 / (m * m)                                # ordered pairs
+    return ((first - 0.5 * second) / p).mean()
+
+
 def afcrps_loss(ensemble: jax.Array, target: jax.Array, alpha: float = 0.95) -> jax.Array:
     """Almost-fair CRPS, scalar mean over batch.
 
@@ -131,17 +150,13 @@ def afcrps_loss(ensemble: jax.Array, target: jax.Array, alpha: float = 0.95) -> 
     b, m = ensemble.shape[0], ensemble.shape[1]
     if m < 2:
         raise ValueError(f"M must be >= 2 for afCRPS, got M={m}")
-    eps = (1.0 - alpha) / m
     p = math.prod(ensemble.shape[2:])
 
     ens = _flatten_spatial(ensemble, 2)            # (B, M, P)
     tgt = _flatten_spatial(target, 1)[:, None, :]  # (B, 1, P)
 
     term_y, term_pair = _crps_terms(ens, tgt)                 # (B,), (B,)
-
-    total = 2.0 * (m - 1) * term_y - (1.0 - eps) * 2.0 * term_pair
-    per_batch = total / (2.0 * m * (m - 1)) / p
-    return per_batch.mean()
+    return afcrps_from_terms(term_y, term_pair, m, p, alpha)
 
 
 def afcrps_loss_pairwise(
@@ -174,9 +189,7 @@ def crps_loss(ensemble: jax.Array, target: jax.Array) -> jax.Array:
     tgt = _flatten_spatial(target, 1)[:, None, :]
 
     t1, t2 = _crps_terms(ens, tgt)
-    first = t1 / m                                             # (B,) P-summed
-    second = 2.0 * t2 / (m * m)                                # ordered pairs
-    return ((first - 0.5 * second) / p).mean()
+    return crps_from_terms(t1, t2, m, p)
 
 
 def crps_loss_pairwise(ensemble: jax.Array, target: jax.Array) -> jax.Array:

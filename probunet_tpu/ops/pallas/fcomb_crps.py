@@ -397,11 +397,19 @@ def fused_elbo_enabled() -> bool:
     carries no GSPMD partitioning spec, so a multi-chip mesh would
     replicate its operands (see ops.losses._crps_impl). Read at TRACE time
     (cached in the jitted step).
+
+    ``auto`` also defers to an explicit ``PROBUNET_CRPS_IMPL=xla``: that
+    knob A/Bs the CRPS-terms implementations, and the fused path would
+    otherwise bypass ops.losses._crps_terms entirely, silently measuring
+    the fused kernel under both settings. PROBUNET_FUSED_ELBO=1 still
+    forces the fused path regardless.
     """
     import os
 
     v = os.environ.get("PROBUNET_FUSED_ELBO", "auto")
     if v == "auto":
+        if os.environ.get("PROBUNET_CRPS_IMPL") == "xla":
+            return False
         return jax.default_backend() == "tpu" and len(jax.devices()) == 1
     return v == "1"
 
@@ -474,12 +482,10 @@ def fused_fcomb_crps_loss(
 
     t1, t2 = fcomb_crps_terms(feat_t, z_t, w1, b1, w2, b2, target_t,
                               compute_dtype=compute_dtype)
+    # single home of the (t1, t2) -> loss algebra: ops.losses
+    from probunet_tpu.ops.losses import afcrps_from_terms, crps_from_terms
+
     pk = p * k
     if loss_type == "afcrps":
-        eps = (1.0 - alpha) / m
-        total = 2.0 * (m - 1) * t1 - (1.0 - eps) * 2.0 * t2
-        return (total / (2.0 * m * (m - 1)) / pk).mean()
-    # crps
-    first = t1 / m
-    second = 2.0 * t2 / (m * m)
-    return ((first - 0.5 * second) / pk).mean()
+        return afcrps_from_terms(t1, t2, m, pk, alpha)
+    return crps_from_terms(t1, t2, m, pk)

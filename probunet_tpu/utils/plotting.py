@@ -61,9 +61,21 @@ def _imshow(ax, field, cmap, vmin=None, vmax=None, lat=None, lon=None):
     present (the reference's pattern, src/climex_utils.py:354-363) and on
     plain axes otherwise. Falls back to index-space imshow without coords."""
     field = np.asarray(field)
+    coords = None
     if lat is not None and lon is not None:
-        lat, lon = _coarsen_coords(np.asarray(lat), np.asarray(lon),
-                                   field.shape)
+        # best-effort geo-referencing: 1-D coord vectors become a grid, and
+        # any remaining mismatch (e.g. pad_to_multiple grids whose lat/lon
+        # stayed at the unpadded size) falls back to index space rather
+        # than killing the figure (plotting must never kill training)
+        lat, lon = np.asarray(lat), np.asarray(lon)
+        if lat.ndim == 1 and lon.ndim == 1:
+            lon, lat = np.meshgrid(lon, lat)
+        try:
+            coords = _coarsen_coords(lat, lon, field.shape)
+        except (ValueError, IndexError):
+            coords = None
+    if coords is not None:
+        lat, lon = coords
         kw = {"transform": ccrs.PlateCarree()} if HAVE_CARTOPY else {}
         im = ax.pcolormesh(lon, lat, field, cmap=cmap, vmin=vmin, vmax=vmax,
                            **kw)
@@ -81,6 +93,8 @@ def _coarsen_coords(lat, lon, field_shape):
     panels show avg-pooled fields, so their cell centers are the block means
     of the HR cell centers)."""
     fh, fw = field_shape[-2], field_shape[-1]
+    if lat.ndim != 2 or lon.ndim != 2:
+        raise ValueError(f"lat/lon must be 2-D grids, got {lat.shape}")
     if lat.shape == (fh, fw):
         return lat, lon
     kh, kw = lat.shape[0] // fh, lat.shape[1] // fw

@@ -118,6 +118,38 @@ def beta_schedule(epoch: int, num_epochs: int):
 # Reference side
 # ---------------------------------------------------------------------------
 
+def _uncomment_reference_afcrps_elbo(puu):
+    """Re-activate the reference's own commented-out afCRPS ``elbo``
+    (src/prob_unet.py:273-317) by stripping the comment markers from its
+    source text and exec-ing it against the reference's imports. Returns
+    the unbound function. Raises if the block cannot be located (the
+    reference tree is read-only, so this is effectively pinned)."""
+    import re
+    import torch
+    from torch.distributions import Independent, Normal, kl
+
+    lines = open(os.path.join(REF, "prob_unet.py")).read().splitlines()
+    start = next(
+        i for i, l in enumerate(lines)
+        if l.lstrip().startswith("# def elbo(") and "alpha" in l
+    )
+    block = []
+    for line in lines[start:]:
+        s = line.strip()
+        if s.startswith("# #"):       # the next '# # ---' banner ends it
+            break
+        block.append(re.sub(r"^(\s*)# ?", r"\1", line))
+    import textwrap
+
+    src = textwrap.dedent("\n".join(block))
+    ns = {"torch": torch, "kl": kl, "Independent": Independent,
+          "Normal": Normal, "afcrps_loss": puu.afcrps_loss,
+          "crps_loss": puu.crps_loss}
+    exec(compile(src, "<reference prob_unet.py:273-317 uncommented>",
+                 "exec"), ns)
+    return ns["elbo"]
+
+
 def run_reference(hr_train, hr_val, num_epochs, bs):
     import torch
 
@@ -141,27 +173,14 @@ def run_reference(hr_train, hr_val, num_epochs, bs):
     dl_val = torch.utils.data.DataLoader(ds_val, batch_size=bs)
 
     class AfCRPSProbUNet(pu.ProbabilisticUNet):
-        """Reference model with its afCRPS ELBO re-attached
-        (the commented variant at src/prob_unet.py:273-317 whose 3-return
-        signature train_probunet_step calls; all components reference's)."""
+        """Reference model with its afCRPS ELBO re-attached: the commented
+        variant at src/prob_unet.py:273-317 (whose 3-return signature
+        train_probunet_step still calls — SURVEY.md §1 "API drift") is
+        UNCOMMENTED FROM THE REFERENCE'S OWN SOURCE at runtime, so the
+        A/B drives the reference's exact code without this repo vendoring
+        a transcription of it."""
 
-        def elbo(self, x, target, t, M=5, alpha=0.95):
-            if M < 2:
-                raise ValueError("M must be at least 2")
-            unet_features = self.unet(x)
-            self.prior_latent_space = self.prior(x)
-            self.posterior_latent_space = self.posterior(x, target)
-            ensemble = []
-            for _ in range(M):
-                z_post = self.posterior_latent_space.rsample()
-                ensemble.append(self.fcomb(unet_features, z_post))
-            ensemble_pred = torch.stack(ensemble, dim=1)
-            crps = puu.afcrps_loss(ensemble_pred, target, alpha=alpha)
-            from torch.distributions import kl
-            kl_div = kl.kl_divergence(self.posterior_latent_space,
-                                      self.prior_latent_space)
-            total = self.beta_0 * crps + self.beta_1 * kl_div.mean()
-            return total, [crps.item()], kl_div
+        elbo = _uncomment_reference_afcrps_elbo(puu)
 
     torch.manual_seed(int(os.environ.get("AB_MODEL_SEED", SEED)))
     model = AfCRPSProbUNet(

@@ -157,6 +157,33 @@ def test_plotting_geo_coord_path(tmp_path):
     assert (tmp_path / "geos_pr.png").stat().st_size > 1000
 
 
+def test_plotting_coord_mismatch_falls_back(tmp_path):
+    """Incompatible or 1-D lat/lon must degrade to index-space imshow, not
+    crash (padded grids keep lat/lon at the unpadded size; plotting must
+    never kill training — code-review r3 finding)."""
+    from matplotlib.collections import QuadMesh
+    from matplotlib.image import AxesImage
+
+    from probunet_tpu.utils.plotting import _imshow
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    # pad_to_multiple case: 7x7 coords vs 8x8 field -> kh == 0 internally
+    lat = np.zeros((7, 7))
+    lon = np.zeros((7, 7))
+    im = _imshow(ax, np.zeros((8, 8)), "viridis", lat=lat, lon=lon)
+    assert isinstance(im, AxesImage)
+    # non-tiling case: 6x6 coords vs 4x4 field (6 = 4*1 + 2)
+    im2 = _imshow(ax, np.zeros((4, 4)), "viridis",
+                  lat=np.zeros((6, 6)), lon=np.zeros((6, 6)))
+    assert isinstance(im2, AxesImage)
+    # 1-D coordinate vectors become a meshgrid and geo-reference fine
+    im3 = _imshow(ax, np.zeros((8, 8)), "viridis",
+                  lat=np.linspace(44, 46, 8), lon=np.linspace(-75, -72, 8))
+    assert isinstance(im3, QuadMesh)
+    plt.close(fig)
+
+
 def test_plot_latent_joint_marginal(tmp_path):
     """Fig5a analog (reference src/latent_exploration.py:50-79)."""
     from probunet_tpu.utils.plotting import plot_latent_joint_marginal
