@@ -87,18 +87,26 @@ def _crps_impl() -> str:
     implementation). For in-process A/B comparisons call ``.clear_cache()`` on
     the jitted function or use fresh processes (bench.py does the latter).
 
-    Multi-device: ``auto`` selects the Pallas kernel only when exactly ONE
-    device is visible. Under a multi-chip GSPMD mesh the pallas_call carries
-    no partitioning spec, so XLA would replicate the full (B, M, P) ensemble
-    on every chip; the XLA pairwise form (which GSPMD partitions freely and
-    which ties with the kernel on v5e — see ops/pallas/__init__.py) is used
-    instead. Forcing ``pallas`` with >1 device is at your own risk.
+    Multi-device: a bare pallas_call carries no partitioning spec, so under
+    a multi-chip GSPMD mesh XLA would replicate the full (B, M, P) ensemble
+    on every chip. ``auto`` therefore selects the kernel on TPU when either
+    (a) exactly one device is visible, or (b) the parallel step builders
+    registered a kernel mesh (ops/pallas/partition.py) — then the kernel
+    runs shard_map-wrapped on each chip's local shard
+    (:func:`~probunet_tpu.ops.pallas.afcrps.ensemble_crps_terms_partitioned`).
+    A multi-device run with NO registered mesh uses the XLA pairwise form
+    (which GSPMD partitions freely and which ties with the kernel on v5e —
+    see ops/pallas/__init__.py). Forcing ``pallas`` is at your own risk.
     """
     import os
 
     impl = os.environ.get("PROBUNET_CRPS_IMPL", "auto")
     if impl == "auto":
-        if jax.default_backend() == "tpu" and len(jax.devices()) == 1:
+        if jax.default_backend() != "tpu":
+            return "xla"
+        from probunet_tpu.ops.pallas.partition import kernel_mesh_is_active
+
+        if len(jax.devices()) == 1 or kernel_mesh_is_active():
             return "pallas"
         return "xla"
     return impl
@@ -112,9 +120,11 @@ def _crps_terms(ens: jax.Array, tgt: jax.Array):
     backward; the XLA path is the pairwise/sorted dispatch above.
     """
     if _crps_impl() == "pallas" and ens.shape[1] >= 2:
-        from probunet_tpu.ops.pallas.afcrps import ensemble_crps_terms
+        from probunet_tpu.ops.pallas.afcrps import (
+            ensemble_crps_terms_partitioned,
+        )
 
-        return ensemble_crps_terms(ens, tgt[:, 0, :])
+        return ensemble_crps_terms_partitioned(ens, tgt[:, 0, :])
     t1 = jnp.sum(jnp.abs(ens - tgt), axis=(1, 2))
     return t1, _ensemble_spread_sum(ens)
 

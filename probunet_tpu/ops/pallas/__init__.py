@@ -14,6 +14,14 @@ keep against XLA's own fusion:
   fused into the CRPS reduction; never materializes the (B,M,H,W,C)
   ensemble or its backward temps (484 -> 535 samples/s flagship).
 
+Multi-chip: a bare pallas_call is an opaque custom call GSPMD cannot
+partition. Both shipped kernels therefore run shard_map-wrapped over the
+mesh registered by the parallel step builders (partition.py): batch over
+the "data" axis, pixels over "spatial" with psum'd partial sums,
+replicated fcomb weights (their gradient psum comes from shard_map's
+transpose). Verified against the unsharded oracles on the 8-device CPU
+mesh in tests/test_parallel.py and in ``dryrun_multichip``.
+
 Retired with measurements (v5e honest timing):
 
 - :func:`gn_film_silu_dropout` (fused_gn.py, round 3) — the whole UNetBlock
@@ -39,7 +47,22 @@ On non-TPU backends the kernels run in interpret mode (numerics-identical;
 used by the CPU test suite).
 """
 
-from probunet_tpu.ops.pallas.afcrps import ensemble_crps_terms
+from probunet_tpu.ops.pallas.afcrps import (
+    ensemble_crps_terms,
+    ensemble_crps_terms_partitioned,
+)
 from probunet_tpu.ops.pallas.fused_gn import gn_film_silu_dropout
+from probunet_tpu.ops.pallas.partition import (
+    clear_kernel_mesh,
+    kernel_mesh_is_active,
+    set_kernel_mesh,
+)
 
-__all__ = ["ensemble_crps_terms", "gn_film_silu_dropout"]
+__all__ = [
+    "ensemble_crps_terms",
+    "ensemble_crps_terms_partitioned",
+    "gn_film_silu_dropout",
+    "set_kernel_mesh",
+    "clear_kernel_mesh",
+    "kernel_mesh_is_active",
+]

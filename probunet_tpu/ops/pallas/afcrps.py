@@ -206,3 +206,35 @@ def _vjp_bwd(res, g):
 
 
 ensemble_crps_terms.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ensemble_crps_terms_partitioned(ens: jax.Array, tgt: jax.Array):
+    """:func:`ensemble_crps_terms`, shard_mapped over the active kernel mesh.
+
+    Under a multi-chip GSPMD step the bare ``pallas_call`` is an opaque
+    custom call that XLA would replicate on every chip (round-2 advisor
+    finding); this wrapper runs it on each chip's local (batch, pixel)
+    shard instead, psumming the pixel partial sums over the spatial axis —
+    exact, because every CRPS term is pointwise in the pixel until the
+    final sum. Falls back to the bare kernel when no >1-device kernel mesh
+    is registered (see ops/pallas/partition.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from probunet_tpu.ops.pallas.partition import active_kernel_mesh, psum_if
+
+    b, _, p = ens.shape
+    mesh, b_ax, s_ax = active_kernel_mesh(b, p)
+    if mesh is None:
+        return ensemble_crps_terms(ens, tgt)
+
+    def body(ens, tgt):
+        t1, t2 = ensemble_crps_terms(ens, tgt)
+        return psum_if(t1, s_ax), psum_if(t2, s_ax)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(b_ax, None, s_ax), P(b_ax, s_ax)),
+        out_specs=(P(b_ax), P(b_ax)),
+        check_vma=False,
+    )(ens, tgt)

@@ -392,11 +392,14 @@ def _terms_fn(cdt_name: str):
 def fused_elbo_enabled() -> bool:
     """Whether the ELBO should route afCRPS/CRPS through the fused kernel.
 
-    PROBUNET_FUSED_ELBO = auto (default) | 1 | 0. ``auto`` enables it on a
-    single-device TPU only — like the plain afCRPS kernel, the pallas_call
-    carries no GSPMD partitioning spec, so a multi-chip mesh would
-    replicate its operands (see ops.losses._crps_impl). Read at TRACE time
-    (cached in the jitted step).
+    PROBUNET_FUSED_ELBO = auto (default) | 1 | 0. ``auto`` enables it on
+    TPU when either exactly one device is visible or the parallel step
+    builders registered a kernel mesh (ops/pallas/partition.py) — then
+    :func:`fcomb_crps_terms` runs shard_map-wrapped per chip. A bare
+    multi-device run (no registered mesh) keeps it off: the pallas_call
+    carries no GSPMD partitioning spec, so the mesh would replicate its
+    operands (see ops.losses._crps_impl). Read at TRACE time (cached in
+    the jitted step).
 
     ``auto`` also defers to an explicit ``PROBUNET_CRPS_IMPL=xla``: that
     knob A/Bs the CRPS-terms implementations, and the fused path would
@@ -410,7 +413,11 @@ def fused_elbo_enabled() -> bool:
     if v == "auto":
         if os.environ.get("PROBUNET_CRPS_IMPL") == "xla":
             return False
-        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+        if jax.default_backend() != "tpu":
+            return False
+        from probunet_tpu.ops.pallas.partition import kernel_mesh_is_active
+
+        return len(jax.devices()) == 1 or kernel_mesh_is_active()
     return v == "1"
 
 
@@ -425,10 +432,36 @@ def fcomb_crps_terms(feat_t, z_t, w1, b1, w2, b2, target_t,
 
     Equal to ops.losses._crps_terms(fcomb.ensemble(...), target) without
     materializing the ensemble or hiddens. Differentiable (custom vjp).
+
+    When a >1-device kernel mesh is registered (ops/pallas/partition.py),
+    the kernel is shard_mapped: batch over the data axis, pixels over the
+    spatial axis (exact — the decode and every CRPS term are pointwise in
+    the pixel until the final sum, which psums its spatial partials), with
+    the fcomb weights replicated; their cross-shard gradient psum comes
+    from shard_map's transpose rule (tests/test_parallel.py asserts the
+    whole thing against the unsharded oracle).
     """
-    return _terms_fn(str(compute_dtype))(
-        feat_t, z_t, w1, b1, w2, b2, target_t
-    )
+    terms = _terms_fn(str(compute_dtype))
+    b, _, p = feat_t.shape
+    from probunet_tpu.ops.pallas.partition import active_kernel_mesh, psum_if
+
+    mesh, b_ax, s_ax = active_kernel_mesh(b, p)
+    if mesh is None:
+        return terms(feat_t, z_t, w1, b1, w2, b2, target_t)
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(feat_t, z_t, w1, b1, w2, b2, target_t):
+        t1, t2 = terms(feat_t, z_t, w1, b1, w2, b2, target_t)
+        return psum_if(t1, s_ax), psum_if(t2, s_ax)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(b_ax, None, s_ax), P(b_ax, None, None),
+                  P(), P(), P(), P(), P(b_ax, None, s_ax)),
+        out_specs=(P(b_ax), P(b_ax)),
+        check_vma=False,
+    )(feat_t, z_t, w1, b1, w2, b2, target_t)
 
 
 def fused_fcomb_crps_loss(

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from probunet_tpu.config import Config
+from probunet_tpu.ops.pallas.partition import set_kernel_mesh
 from probunet_tpu.train.loop import make_elbo_loss_fn, optax_global_norm
 from probunet_tpu.train.state import TrainState
 
@@ -58,6 +59,11 @@ def make_parallel_train_step(
     if spatial is None:
         spatial = mesh.shape.get("spatial", 1) > 1
     repl, batch_sh = _shardings(mesh, spatial)
+    # register the mesh for the Pallas loss kernels: a bare pallas_call is
+    # an opaque custom call GSPMD cannot partition, so the loss wraps it in
+    # shard_map over this mesh (ops/pallas/partition.py; trace-time capture,
+    # last-registered mesh wins — one mesh per process is the supported use)
+    set_kernel_mesh(mesh)
     loss_fn = make_elbo_loss_fn(model, cfg)
 
     @partial(
@@ -93,6 +99,7 @@ def make_parallel_eval_step(
     if spatial is None:
         spatial = mesh.shape.get("spatial", 1) > 1
     repl, batch_sh = _shardings(mesh, spatial)
+    set_kernel_mesh(mesh)  # see make_parallel_train_step
     # eval uses M=eval_ensemble_size and beta weights (1, 0) like the
     # reference eval loop (reference src/train_prob_unet_model.py:161-210)
     eval_loss_fn = make_elbo_loss_fn(model, cfg, training=False)

@@ -24,3 +24,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clear_kernel_mesh():
+    """Isolate the process-global Pallas kernel-mesh registration
+    (ops/pallas/partition.py): tests that build mesh-sharded steps register
+    a mesh there, which would otherwise leak shard_map wrapping into later
+    single-device kernel tests."""
+    yield
+    from probunet_tpu.ops.pallas.partition import clear_kernel_mesh
+
+    clear_kernel_mesh()

@@ -220,6 +220,78 @@ def test_trainer_with_mesh_matches_single_device():
                                rtol=1e-4)
 
 
+def test_partitioned_crps_kernel_matches_oracle(monkeypatch):
+    """The shard_map-wrapped Pallas CRPS terms (ops/pallas/partition.py)
+    under a data x spatial mesh: loss and grads equal the XLA pairwise
+    oracle — batch sharded over 'data', pixels over 'spatial' with psum'd
+    partial sums (round-2 advisor finding: a bare pallas_call would be
+    replicated by GSPMD)."""
+    from probunet_tpu.ops.losses import afcrps_loss, afcrps_loss_pairwise
+    from probunet_tpu.ops.pallas.partition import (
+        kernel_mesh_is_active, set_kernel_mesh,
+    )
+
+    monkeypatch.setenv("PROBUNET_CRPS_IMPL", "pallas")
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    set_kernel_mesh(mesh)
+    assert kernel_mesh_is_active()
+
+    rng = np.random.default_rng(7)
+    ens = jnp.asarray(rng.standard_normal((8, 3, 16, 16, 2)), jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32)
+
+    v, g = jax.jit(jax.value_and_grad(afcrps_loss, argnums=(0, 1)))(ens, tgt)
+    v_ref, g_ref = jax.value_and_grad(afcrps_loss_pairwise, argnums=(0, 1))(
+        ens, tgt
+    )
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-5)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dp_train_step_pallas_kernels_match_xla(monkeypatch):
+    """Full DP train step with the Pallas loss kernels FORCED on (the
+    multi-chip TPU configuration: fused fcomb-CRPS ELBO + sharded terms
+    kernel, shard_map-wrapped over the registered mesh) must produce the
+    same update as the single-device XLA step."""
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    res = cfg.data.resolution[0]
+    b = cfg.train.batch_size
+
+    rng = np.random.default_rng(11)
+    hr_stack = jnp.asarray(rng.standard_normal((16, res, res, 3)), jnp.float32)
+    stats = compute_stats(hr_stack, cfg.data.lowres_scale)
+    hr_batch = np.asarray(hr_stack[:b])
+
+    x = jnp.zeros((b, res, res, 3), jnp.float32)
+    state0 = create_train_state(model, x, x, seed=0)
+    b0, b1 = jnp.float32(1.0), jnp.float32(0.1)
+
+    # single-device XLA reference (default impls on CPU)
+    step1 = make_train_step(model, cfg, donate=False)
+    state_ref, m_ref = step1(state0, jnp.asarray(hr_batch), stats, b0, b1)
+
+    # 8-way DP with both Pallas kernels forced (interpret mode on CPU)
+    monkeypatch.setenv("PROBUNET_CRPS_IMPL", "pallas")
+    monkeypatch.setenv("PROBUNET_FUSED_ELBO", "1")
+    mesh = make_mesh()
+    state_dp = jax.device_put(state0, replicated(mesh))
+    stats_dp = jax.device_put(stats, replicated(mesh))
+    step8 = make_parallel_train_step(model, cfg, mesh, donate=False)
+    state_dp, m_dp = step8(state_dp, hr_batch, stats_dp,
+                           jax.device_put(b0, replicated(mesh)),
+                           jax.device_put(b1, replicated(mesh)))
+
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-4)
+    for a, c in zip(jax.tree.leaves(state_ref.params),
+                    jax.tree.leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
