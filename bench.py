@@ -98,8 +98,19 @@ def main() -> None:
     if not on_cpu:
         cfg.train.batch_size = int(os.environ.get("BENCH_BS", "128"))
     # BENCH_REMAT=1 checkpoints every UNet block (O(depth) less activation
-    # memory for ~1 extra fwd of FLOPs) — the lever that admits bs>=256
-    cfg.train.remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # memory for ~1 extra fwd of FLOPs) — the lever that admits bs>=256.
+    # BENCH_REMAT=0,1 (a comma list of level indices) checkpoints only the
+    # blocks at those resolution levels (train.remat_levels): the shallow
+    # levels hold the largest activations, so selective remat buys most of
+    # the memory at a fraction of the recompute. ("0" alone means OFF —
+    # reference level 0 by itself as "0,".)
+    remat_env = os.environ.get("BENCH_REMAT", "0")
+    if "," in remat_env or remat_env not in ("0", "1"):
+        cfg.train.remat_levels = tuple(
+            int(v) for v in remat_env.split(",") if v.strip()
+        )
+    else:
+        cfg.train.remat = remat_env == "1"
     # ensemble mode runs at the full default batch: bs=128 x 16 members fits
     # since the bf16 residual stream (32.4k member-fields/s vs 19.4k at
     # bs=64; r2's 64-cap predates it). BENCH_BS still overrides.
@@ -134,7 +145,7 @@ def main() -> None:
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
         dtype=jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None,
-        remat=cfg.train.remat,
+        remat=tuple(cfg.train.remat_levels) or cfg.train.remat,
     )
     x = jnp.zeros((b, res[0], res[1], cfg.model.input_channels), jnp.float32)
     y = jnp.zeros((b, res[0], res[1], cfg.model.num_classes), jnp.float32)

@@ -101,7 +101,7 @@ def make_model(cfg: Config):
         num_blocks=cfg.model.num_blocks,
         dropout=cfg.model.dropout,
         dtype=dtype,
-        remat=cfg.train.remat,
+        remat=tuple(cfg.train.remat_levels) or cfg.train.remat,
     )
 
 

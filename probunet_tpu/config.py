@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Tuple
 
 
 @dataclass
@@ -132,6 +132,11 @@ class TrainConfig:
     rng_impl: str = "rbg"
     # memory/perf knobs
     remat: bool = False          # jax.checkpoint the U-Net encoder/decoder
+    # checkpoint only the blocks at these resolution levels (e.g. (0,) or
+    # (0, 1)): the shallow levels hold the largest activations, so this
+    # buys most of full remat's memory at a fraction of its recompute.
+    # Takes precedence over `remat` when non-empty.
+    remat_levels: Tuple[int, ...] = ()
     log_every: int = 50
     checkpoint_every: int = 0    # steps; 0 = per-epoch only
     checkpoint_dir: str = "checkpoints"

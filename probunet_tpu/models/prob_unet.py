@@ -65,7 +65,9 @@ class ProbabilisticUNet(nn.Module):
     num_blocks: int = 2
     dropout: float = 0.10
     dtype: Any = None
-    remat: bool = False
+    # True = checkpoint every UNet block; a tuple of level indices
+    # checkpoints only those resolution levels (see models.unet.UNet.remat)
+    remat: Any = False
 
     def setup(self):
         self.unet = UNet(

@@ -69,9 +69,13 @@ class UNet(nn.Module):
     label_dropout: float = 0.0
     use_diffuse: bool = False
     dtype: Any = None
-    # gradient rematerialization of every residual block: trades ~1 extra
-    # forward pass for O(depth) less activation memory (large M / batch)
-    remat: bool = False
+    # gradient rematerialization: True checkpoints EVERY residual block
+    # (~1 extra forward pass for O(depth) less activation memory); a
+    # sequence of level indices (e.g. (0,) or (0, 1)) checkpoints only the
+    # blocks at those resolution levels — the shallow levels hold the
+    # largest activations (L0 is 4x L1's bytes per tensor), so selective
+    # remat buys most of the memory at a fraction of the recompute
+    remat: Any = False
 
     @nn.compact
     def __call__(
@@ -89,11 +93,16 @@ class UNet(nn.Module):
             dropout=self.dropout, init=INIT_EDM, init_zero=INIT_ZERO,
             dtype=self.dtype,
         )
-        # nn.remat checkpoints each block; `train` must stay static (the
+        # nn.remat checkpoints a block; `train` must stay static (the
         # transformed call sees (module, x, emb, train) -> index 3)
-        Block = (
-            nn.remat(UNetBlock, static_argnums=(3,)) if self.remat else UNetBlock
-        )
+        _RematBlock = nn.remat(UNetBlock, static_argnums=(3,))
+
+        def _block_cls(level: int):
+            if self.remat is True:
+                return _RematBlock
+            if not self.remat:  # False / None / empty sequence
+                return UNetBlock
+            return _RematBlock if level in tuple(self.remat) else UNetBlock
         b = x.shape[0]
         # Residual stream in the COMPUTE dtype: with dtype=bf16 every conv
         # output is already bf16-rounded (preferred_element_type, see
@@ -149,6 +158,7 @@ class UNet(nn.Module):
         skips = []
         cout = self.in_channels
         for level, mult in enumerate(self.channel_mult):
+            Block = _block_cls(level)
             resx = self.img_resolution[0] >> level
             resy = self.img_resolution[1] >> level
             if level == 0:
@@ -174,6 +184,7 @@ class UNet(nn.Module):
 
         # ---- Decoder (reference src/networks.py:280-297) ----
         for level, mult in reversed(list(enumerate(self.channel_mult))):
+            Block = _block_cls(level)
             resx = self.img_resolution[0] >> level
             resy = self.img_resolution[1] >> level
             if level == len(self.channel_mult) - 1:

@@ -7,7 +7,7 @@ import numpy as np
 from probunet_tpu.models.prob_unet import ProbabilisticUNet
 
 
-def _model(remat: bool):
+def _model(remat):
     return ProbabilisticUNet(
         input_channels=3, num_classes=3, latent_dim=4,
         num_filters=(8, 16), model_channels=8, channel_mult=(1, 2),
@@ -32,6 +32,32 @@ def test_remat_grads_match():
         return total
 
     # identical parameter structure: remat is purely a recompute schedule
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_selective_remat_levels_match():
+    """remat=(0,) (checkpoint only level-0 blocks — the big-activation
+    levels) must be a pure recompute-schedule change too: same param tree,
+    same gradients as no remat."""
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 32, 32, 3)), jnp.float32
+    )
+    m0, m1 = _model(False), _model((0,))
+    params = jax.jit(m0.init)(
+        {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+    )["params"]
+
+    def loss(model, p):
+        total, _ = model.apply(
+            {"params": p}, x, x, M=2, method=ProbabilisticUNet.elbo,
+            rngs={"latent": jax.random.key(2), "dropout": jax.random.key(3)},
+        )
+        return total
+
     g0 = jax.grad(lambda p: loss(m0, p))(params)
     g1 = jax.grad(lambda p: loss(m1, p))(params)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
