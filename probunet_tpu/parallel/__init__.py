@@ -14,7 +14,10 @@ src/train_prob_unet_model.py:62; no torch.distributed anywhere — SURVEY.md
   inference (the CP-equivalent for a convolutional model, SURVEY.md §5);
 - :mod:`tensor_parallel` — channel-sharded convolution pair over a
   ("data", "model") mesh (the P2 capability demo: Megatron column/row
-  parallelism, conv edition, with GSPMD-derived collectives).
+  parallelism, conv edition, with GSPMD-derived collectives);
+- :mod:`member_parallel` — ensemble-member parallelism for the serve path:
+  prior draws sharded M-over-"member" with U-Net features shared, so
+  M-member generation is ~M/n per-chip work with zero decode collectives.
 """
 
 from probunet_tpu.parallel.mesh import (
@@ -39,6 +42,10 @@ from probunet_tpu.parallel.multihost import (
     initialize,
     process_local_indices,
 )
+from probunet_tpu.parallel.member_parallel import (
+    make_member_mesh,
+    make_parallel_sample_step,
+)
 from probunet_tpu.parallel.tensor_parallel import (
     channel_sharded_block,
     init_channel_sharded_params,
@@ -54,6 +61,8 @@ __all__ = [
     "shard_batch",
     "make_parallel_train_step",
     "make_parallel_eval_step",
+    "make_member_mesh",
+    "make_parallel_sample_step",
     "halo_exchange",
     "halo_conv2d",
     "extract_tiles",

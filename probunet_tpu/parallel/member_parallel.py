@@ -1,0 +1,121 @@
+"""Ensemble-member parallelism for the serve path.
+
+The reference generates its test-set ensembles one member at a time,
+re-running the full U-Net per draw (reference results.ipynb cell 12 /
+src/prob_unet.py:194-224 with ``training=False``; SURVEY.md §3.3). This
+framework already shares the U-Net features across members and vmaps the
+Fcomb decode; HERE the member axis additionally becomes a mesh dimension:
+
+- U-Net features are computed batch-sharded over "data" (they carry no
+  member axis, so GSPMD keeps them replicated along "member" — zero
+  collectives in the decode);
+- the M prior draws ``zs (M, B, D)`` are sharded M-over-"member",
+  B-over-"data";
+- each chip decodes only its member shard through Fcomb, and the HR-units
+  ensemble comes back (B, M, H, W, C) sharded over both axes.
+
+Members are conditionally independent given the features, so this is
+embarrassingly parallel — a ("data", "member") mesh turns M-member
+generation into ~M/n_member per-chip work with no cross-chip traffic
+besides the (replicated) parameters. This is the natural second mesh axis
+for serving large ensembles (e.g. the 30-year x M=20 return-level sweeps
+of test_return_levels.ipynb cell 2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from probunet_tpu.config import Config
+from probunet_tpu.data.climex import (
+    lrinterp_from_batch,
+    preprocess_batch,
+    residual_to_hr,
+)
+from probunet_tpu.models.prob_unet import ProbabilisticUNet
+from probunet_tpu.parallel.mesh import DATA_AXIS
+
+MEMBER_AXIS = "member"
+
+
+def make_member_mesh(
+    n_data: int | None = None,
+    n_member: int = 1,
+    devices=None,
+) -> Mesh:
+    """A ("data", "member") mesh. ``n_data=None`` uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None:
+        if n % n_member:
+            raise ValueError(f"{n} devices not divisible by n_member={n_member}")
+        n_data = n // n_member
+    want = n_data * n_member
+    if want > n:
+        raise ValueError(f"mesh {n_data}x{n_member} needs {want} devices, have {n}")
+    devices = devices[:want]
+    try:
+        dev_array = mesh_utils.create_device_mesh(
+            (n_data, n_member), devices=devices
+        )
+    except (ValueError, AssertionError):
+        dev_array = np.asarray(devices).reshape(n_data, n_member)
+    return Mesh(dev_array, (DATA_AXIS, MEMBER_AXIS))
+
+
+def make_parallel_sample_step(
+    model: ProbabilisticUNet,
+    cfg: Config,
+    mesh: Mesh,
+    num_samples: int = 16,
+) -> Callable:
+    """jit member+data-sharded prior-ensemble generation over ``mesh``.
+
+    step(params, hr_batch, key, stats) -> HR-units ensemble
+    (B, num_samples, H, W, C), B sharded over "data", members over
+    "member". Matches the single-device ``ProbabilisticUNet.sample`` +
+    ``residual_to_hr`` path bit-for-bit up to float tolerance (tested on
+    the CPU device farm).
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    zs_sh = NamedSharding(mesh, P(MEMBER_AXIS, DATA_AXIS, None))
+    ens_sh = NamedSharding(mesh, P(DATA_AXIS, MEMBER_AXIS, None, None, None))
+    d = cfg.data
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, batch_sh, repl, repl),
+        out_shardings=ens_sh,
+    )
+    def step(params, hr_batch, key, stats):
+        batch = preprocess_batch(
+            hr_batch, stats, d.pipeline, d.lowres_scale, d.interp_mode,
+            d.epsilon, d.standardization,
+        )
+        x = batch["inputs"]
+        feats, prior, _ = model.apply(
+            {"params": params}, x, method=ProbabilisticUNet.encode
+        )
+        zs = prior.rsample(key, sample_shape=(num_samples,))  # (M, B, D)
+        zs = jax.lax.with_sharding_constraint(zs, zs_sh)
+        out = model.apply(  # (B, M, H, W, C)
+            {"params": params}, feats, zs, method=ProbabilisticUNet.decode
+        )
+        lrinterp = lrinterp_from_batch(batch, d.lowres_scale, d.interp_mode)
+        ist = batch.get("stand_stats")
+        if ist is not None:  # add the member axis for (B, M, ...) outputs
+            ist = jax.tree.map(lambda a: a[:, None], ist)
+        hr = residual_to_hr(
+            out, lrinterp[:, None], stats, d.pipeline, d.epsilon,
+            d.standardization, item_stats=ist,
+        )
+        return jax.lax.with_sharding_constraint(hr, ens_sh)
+
+    return step

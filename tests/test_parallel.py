@@ -343,3 +343,55 @@ def test_multihost_helpers_single_process():
     assert arr.shape == (16, 4, 4, 2)
     assert len(arr.addressable_shards) == 8  # batch sharded over "data"
     np.testing.assert_array_equal(np.asarray(arr), batch)
+
+
+def test_member_mesh_shapes():
+    from probunet_tpu.parallel import make_member_mesh
+
+    mesh = make_member_mesh(n_member=4)
+    assert mesh.shape["data"] == 2 and mesh.shape["member"] == 4
+    with pytest.raises(ValueError):
+        make_member_mesh(n_member=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        make_member_mesh(n_data=4, n_member=4)  # needs 16 devices
+
+
+def test_member_parallel_sample_matches_unsharded():
+    """Ensemble-member parallelism (serve path): the ("data", "member")-mesh
+    generation step must reproduce the single-device generation exactly —
+    members are independent given shared U-Net features, so sharding the
+    member axis is pure partitioning, no math change."""
+    from probunet_tpu.parallel import make_member_mesh, make_parallel_sample_step
+
+    cfg = tiny_cfg()
+    model = tiny_model(cfg)
+    res = cfg.data.resolution[0]
+    b = cfg.train.batch_size
+    m = 8
+
+    rng = np.random.default_rng(7)
+    hr_stack = jnp.asarray(rng.standard_normal((16, res, res, 3)), jnp.float32)
+    stats = compute_stats(hr_stack, cfg.data.lowres_scale)
+    hr_batch = np.asarray(hr_stack[:b])
+
+    x = jnp.zeros((b, res, res, 3), jnp.float32)
+    state0 = create_train_state(model, x, x, seed=0)
+    key = jax.random.key(3)
+
+    # single-device oracle: same step on a trivial 1x1 mesh
+    mesh1 = make_member_mesh(n_data=1, n_member=1,
+                             devices=jax.devices()[:1])
+    step1 = make_parallel_sample_step(model, cfg, mesh1, num_samples=m)
+    want = step1(state0.params, hr_batch, key, stats)
+    assert want.shape == (b, m, res, res, 3)
+
+    # 2-way data x 4-way member sharding
+    mesh = make_member_mesh(n_member=4)
+    step8 = make_parallel_sample_step(model, cfg, mesh, num_samples=m)
+    got = step8(state0.params, hr_batch, key, stats)
+
+    assert got.sharding.spec == P("data", "member", None, None, None)
+    # member shards live on distinct devices
+    assert len(got.addressable_shards) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
