@@ -372,8 +372,31 @@ def cmd_evaluate(args):
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
 
+    if getattr(args, "member_mesh", 0) and args.member_mesh > 1:
+        # ensemble members sharded over a ("data", "member") mesh — the
+        # serve-path scaling axis (parallel/member_parallel.py); metrics
+        # math below is unchanged, only the generation is partitioned
+        from probunet_tpu.data.transforms import invert_physical_transform
+        from probunet_tpu.parallel import (
+            make_member_mesh, make_parallel_sample_step,
+        )
+        n_member = args.member_mesh
+        mesh = make_member_mesh(n_member=n_member)
+        gen = make_parallel_sample_step(model, cfg, mesh, num_samples=m)
+
+        @jax.jit
+        def sample_hr(hr_batch, key):
+            hr_pred = gen(params, hr_batch, key, stats)
+            gt = hr_batch
+            if cfg.data.transfo:
+                hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
+                gt = invert_physical_transform(gt, cfg.data.variables)
+            return hr_pred, gt
+    else:
+        sample_hr = None
+
     @jax.jit
-    def sample_hr(hr_batch, key):
+    def sample_hr_single(hr_batch, key):
         batch = ds_test.preprocess(hr_batch)
         out = model.apply({"params": params}, batch["inputs"], num_samples=m,
                           method=ProbabilisticUNet.sample,
@@ -396,6 +419,9 @@ def cmd_evaluate(args):
             hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
             gt = invert_physical_transform(gt, cfg.data.variables)
         return hr_pred, gt
+
+    if sample_hr is None:
+        sample_hr = sample_hr_single
 
     ens, gts = [], []
     key = jax.random.key(0)
@@ -872,6 +898,9 @@ def main(argv=None):
     sp.add_argument("--members", type=int, default=16)
     sp.add_argument("--batch-size", type=int, default=16)
     sp.add_argument("--max-items", type=int, default=None)
+    sp.add_argument("--member-mesh", type=int, default=0, metavar="N",
+                    help="shard the ensemble over a ('data','member') mesh "
+                         "with N-way member parallelism (needs >= N devices)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("infer-domain",

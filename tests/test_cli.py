@@ -136,3 +136,17 @@ def test_cli_sweep_wandb_yaml(tmp_path, capsys):
     )
     assert res["points"] == 2
     assert "train.batch_size" in res["best"]["overrides"]
+
+
+def test_cli_evaluate_member_mesh(capsys):
+    """evaluate --member-mesh N: ensemble generation sharded over the
+    ('data','member') mesh (parallel/member_parallel.py) produces the same
+    metrics schema on the 8-device CPU farm."""
+    main(["evaluate", "--preset", "probunet_latent6_64",
+          "--members", "4", "--batch-size", "16", "--max-items", "16",
+          "--member-mesh", "2"] + TINY)
+    printed = capsys.readouterr().out
+    ev = json.loads(
+        [ln for ln in printed.splitlines() if '"crps_mean"' in ln][-1]
+    )
+    assert ev["members"] == 4 and len(ev["crps_mean"]) == 1
