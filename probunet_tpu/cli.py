@@ -674,8 +674,29 @@ def cmd_extremes(args):
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
 
+    sample_pixels = None
+    if getattr(args, "member_mesh", 0) and args.member_mesh > 1:
+        # the member axis of the (30-year x M) sweep sharded over a
+        # ("data", "member") mesh (parallel/member_parallel.py) — the
+        # multi-chip form of the reference's 10,950 x M serial loop
+        from probunet_tpu.data.transforms import invert_physical_transform
+        from probunet_tpu.parallel import (
+            make_member_mesh, make_parallel_sample_step,
+        )
+        mesh = make_member_mesh(n_member=args.member_mesh)
+        gen = make_parallel_sample_step(model, cfg, mesh, num_samples=m)
+
+        @jax.jit
+        def sample_pixels(hr_batch, key):
+            hr_pred = gen(params, hr_batch, key, stats)
+            gt = hr_batch
+            if cfg.data.transfo:
+                hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
+                gt = invert_physical_transform(gt, cfg.data.variables)
+            return hr_pred[:, :, ys, xs, var_idx], gt[:, ys, xs, var_idx]
+
     @jax.jit
-    def sample_pixels(hr_batch, key):
+    def sample_pixels_single(hr_batch, key):
         batch = ds_test.preprocess(hr_batch)
         out = model.apply({"params": params}, batch["inputs"], num_samples=m,
                           method=ProbabilisticUNet.sample,
@@ -696,6 +717,9 @@ def cmd_extremes(args):
             hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
             gt = invert_physical_transform(gt, cfg.data.variables)
         return hr_pred[:, :, ys, xs, var_idx], gt[:, ys, xs, var_idx]
+
+    if sample_pixels is None:
+        sample_pixels = sample_pixels_single
 
     days = len(ds_test) if not args.days else min(args.days, len(ds_test))
     model_vals, gt_vals = [], []
@@ -931,6 +955,9 @@ def main(argv=None):
     sp.add_argument("--n-boot", type=int, default=1000)
     sp.add_argument("--return-periods", type=int, nargs="+",
                     default=[2, 5, 10, 20, 50, 100])
+    sp.add_argument("--member-mesh", type=int, default=0, metavar="N",
+                    help="shard the ensemble over a ('data','member') mesh "
+                         "with N-way member parallelism (needs >= N devices)")
     sp.set_defaults(fn=cmd_extremes)
 
     sp = sub.add_parser("pack", help="NetCDF -> packed-array conversion")
