@@ -41,6 +41,7 @@ from probunet_tpu.parallel.multihost import (
     global_batch,
     initialize,
     process_local_indices,
+    replicate_global,
 )
 from probunet_tpu.parallel.member_parallel import (
     make_member_mesh,
@@ -71,6 +72,7 @@ __all__ = [
     "initialize",
     "global_batch",
     "process_local_indices",
+    "replicate_global",
     "make_dp_tp_mesh",
     "init_channel_sharded_params",
     "shard_params",

@@ -31,7 +31,14 @@ def initialize(**kwargs) -> None:
     misconfigured pod must not degrade silently to single-process training.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # NOTE: do NOT probe jax.process_count()/jax.devices() here — any such
+    # call initializes the XLA backend, after which
+    # jax.distributed.initialize() refuses to run (found by the two-process
+    # test: the wrapper itself was breaking the runtime it wraps). Inspect
+    # the distributed client state instead.
+    from jax._src import distributed as _dist
+
+    if _initialized or getattr(_dist.global_state, "client", None) is not None:
         _initialized = True
         return
     if kwargs:
@@ -44,6 +51,31 @@ def initialize(**kwargs) -> None:
     except (RuntimeError, ValueError):
         # single-process run (no coordinator configured): fine, stay local
         _initialized = True
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Promote a pytree of identical-on-every-process values (params,
+    optimizer state, stats, typed PRNG keys) to globally-replicated
+    ``jax.Array``s over ``mesh``.
+
+    ``jax.device_put`` refuses shardings with non-addressable devices, so
+    the global array is assembled from per-local-device copies — zero
+    cross-host data movement. The values MUST already be identical on every
+    process (same seeds / deterministic init), which is the standard SPMD
+    setup discipline.
+    """
+    import jax.numpy as jnp
+
+    repl = NamedSharding(mesh, P())
+
+    def leaf_to_global(leaf):
+        leaf = jnp.asarray(leaf)
+        locs = [jax.device_put(leaf, d) for d in mesh.local_devices]
+        return jax.make_array_from_single_device_arrays(
+            leaf.shape, repl, locs
+        )
+
+    return jax.tree.map(leaf_to_global, tree)
 
 
 def process_local_indices(global_indices: np.ndarray) -> np.ndarray:

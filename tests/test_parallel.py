@@ -4,6 +4,8 @@ Covers SURVEY.md §2.5 P1 (data parallel), P4 (spatial halo exchange /
 full-domain tiling), and the driver's dryrun_multichip path.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -395,3 +397,43 @@ def test_member_parallel_sample_matches_unsharded():
     assert len(got.addressable_shards) == 8
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_multiprocess_dp_two_processes():
+    """REAL multi-process data parallelism: two OS processes, 2 virtual CPU
+    devices each, gloo collectives via jax.distributed; each process loads
+    only its slab of the global batch (the multihost input path) and the
+    distributed update must match the single-device update (asserted inside
+    tests/mp_worker.py by process 0)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"MP_OK pid={pid}" in out, out[-3000:]
+    # both processes computed the same replicated loss
+    l0 = outs[0].split("loss=")[1].split()[0]
+    l1 = outs[1].split("loss=")[1].split()[0]
+    assert l0 == l1, (l0, l1)
