@@ -138,11 +138,12 @@ def test_cli_sweep_wandb_yaml(tmp_path, capsys):
     assert "train.batch_size" in res["best"]["overrides"]
 
 
-def test_cli_evaluate_member_mesh(capsys):
+def test_cli_evaluate_member_mesh(tmp_path, capsys):
     """evaluate --member-mesh N: ensemble generation sharded over the
     ('data','member') mesh (parallel/member_parallel.py) produces the same
     metrics schema on the 8-device CPU farm."""
     main(["evaluate", "--preset", "probunet_latent6_64",
+          "--outdir", str(tmp_path / "ev"),
           "--members", "4", "--batch-size", "16", "--max-items", "16",
           "--member-mesh", "2"] + TINY)
     printed = capsys.readouterr().out
