@@ -66,14 +66,31 @@ def prefetch_to_device(
     ``jax.device_put`` is async: enqueueing `size` batches ahead lets the
     transfer engine overlap with compute. With a ``sharding``, arrays land
     directly in their sharded layout (DP input pipeline).
+
+    Multi-process meshes: when ``sharding`` spans non-addressable devices
+    (a real jax.distributed run), each process contributes only its
+    contiguous slab of the leading (batch) axis via
+    ``jax.make_array_from_process_local_data`` — the per-host input
+    discipline of SURVEY.md §2.5 P5. Iteration order (Batches seeding) is
+    deterministic, so every process slices the same global batch.
     """
 
     queue: collections.deque = collections.deque()
     it = iter(iterable)
 
+    def put_global(x):
+        import numpy as np
+
+        n, i = jax.process_count(), jax.process_index()
+        per = x.shape[0] // n
+        local = np.asarray(x[i * per:(i + 1) * per])
+        return jax.make_array_from_process_local_data(sharding, local)
+
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
+        if not sharding.is_fully_addressable:
+            return jax.tree.map(put_global, batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     for batch in itertools.islice(it, size):

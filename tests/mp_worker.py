@@ -94,6 +94,7 @@ new_state, metrics = step(
 loss = float(metrics["loss"])
 assert np.isfinite(loss)
 
+loss1 = None
 if pid == 0:
     # single-device reference on the same (full) batch
     step1 = make_train_step(model, cfg, donate=False)
@@ -106,6 +107,46 @@ if pid == 0:
                     jax.tree.leaves(new_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=2e-3, atol=2e-5)
-    print(f"MP_OK pid={pid} loss={loss:.6f} ref={loss1:.6f}", flush=True)
+
+# ---- full distributed epoch through the real input pipeline ----
+# Batches (seed-synchronized shuffle) -> prefetch_to_device, which
+# assembles each process's slab via make_array_from_process_local_data
+from probunet_tpu.parallel.mesh import batch_sharding  # noqa: E402
+from probunet_tpu.train.loop import train_epoch  # noqa: E402
+
+
+class _DS:
+    def __init__(self, hr):
+        self.hr = np.asarray(hr)
+
+    def __len__(self):
+        return len(self.hr)
+
+    def get_hr_batch(self, idx):
+        return self.hr[np.asarray(idx)]
+
+
+ds = _DS(hr_stack)
+state_e = replicate_global(create_train_state(model, x, x, seed=0), mesh)
+state_e, summ = train_epoch(
+    step, state_e, ds, stats_g, cfg, 1.0, 0.1, epoch=0,
+    sharding=batch_sharding(mesh, spatial=False),
+)
+assert np.isfinite(summ["recon"])
+
+if pid == 0:
+    s1 = create_train_state(model, x, x, seed=0)
+    s1, summ1 = train_epoch(step1, s1, ds, stats, cfg, 1.0, 0.1, epoch=0)
+    assert abs(summ["recon"] - summ1["recon"]) <= 1e-4 * max(
+        1.0, abs(summ1["recon"])
+    ), (summ["recon"], summ1["recon"])
+    for a, c in zip(jax.tree.leaves(s1.params),
+                    jax.tree.leaves(state_e.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=2e-5)
+    print(f"MP_OK pid={pid} loss={loss:.6f} ref={loss1:.6f} "
+          f"epoch_recon={summ['recon']:.6f} ref_epoch={summ1['recon']:.6f}",
+          flush=True)
 else:
-    print(f"MP_OK pid={pid} loss={loss:.6f}", flush=True)
+    print(f"MP_OK pid={pid} loss={loss:.6f} "
+          f"epoch_recon={summ['recon']:.6f}", flush=True)
