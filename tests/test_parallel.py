@@ -437,3 +437,33 @@ def test_multiprocess_dp_two_processes():
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1, (l0, l1)
+
+
+def test_member_parallel_sample_pertimestep_stats():
+    """The member-sharded sample step must thread per-item stand_stats
+    (pertimestep standardization) through residual_to_hr identically to the
+    1-device mesh — covers the item-stats member-axis broadcast."""
+    from probunet_tpu.parallel import make_member_mesh, make_parallel_sample_step
+
+    cfg = tiny_cfg()
+    cfg.data.standardization = "pertimestep"
+    model = tiny_model(cfg)
+    res = cfg.data.resolution[0]
+    b = cfg.train.batch_size
+
+    rng = np.random.default_rng(9)
+    hr_stack = jnp.asarray(rng.standard_normal((16, res, res, 3)), jnp.float32)
+    stats = compute_stats(hr_stack, cfg.data.lowres_scale)
+    hr_batch = np.asarray(hr_stack[:b])
+    x = jnp.zeros((b, res, res, 3), jnp.float32)
+    state0 = create_train_state(model, x, x, seed=0)
+    key = jax.random.key(5)
+
+    mesh1 = make_member_mesh(n_data=1, n_member=1, devices=jax.devices()[:1])
+    want = make_parallel_sample_step(model, cfg, mesh1, num_samples=4)(
+        state0.params, hr_batch, key, stats)
+    mesh = make_member_mesh(n_member=2)
+    got = make_parallel_sample_step(model, cfg, mesh, num_samples=4)(
+        state0.params, hr_batch, key, stats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
