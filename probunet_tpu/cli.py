@@ -346,6 +346,45 @@ def cmd_explore(args):
                          save_path=os.path.join(args.outdir, f"grid_{name}.png"))
 
 
+def _member_mesh_sampler(args, cfg, model, params, stats):
+    """``--member-mesh N``: jitted (hr_batch, key) -> (hr_pred, gt) with the
+    ensemble sharded over a ("data", "member") mesh
+    (parallel/member_parallel.py), physical transforms inverted. Returns
+    None when the flag is off; downstream metric math is unchanged — only
+    the generation is partitioned."""
+    n_member = getattr(args, "member_mesh", 0) or 0
+    if n_member <= 1:
+        return None
+    import jax
+
+    from probunet_tpu.data.transforms import invert_physical_transform
+    from probunet_tpu.parallel import (
+        make_member_mesh, make_parallel_sample_step,
+    )
+
+    n_data = max(len(jax.devices()) // n_member, 1)
+    if args.batch_size % n_data:
+        raise SystemExit(
+            f"--member-mesh {n_member}: --batch-size {args.batch_size} must "
+            f"be a multiple of the data-axis size {n_data} "
+            f"(= devices // member) or GSPMD cannot partition the batch"
+        )
+    mesh = make_member_mesh(n_member=n_member)
+    gen = make_parallel_sample_step(model, cfg, mesh,
+                                    num_samples=args.members)
+
+    @jax.jit
+    def sample_hr(hr_batch, key):
+        hr_pred = gen(params, hr_batch, key, stats)
+        gt = hr_batch
+        if cfg.data.transfo:
+            hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
+            gt = invert_physical_transform(gt, cfg.data.variables)
+        return hr_pred, gt
+
+    return sample_hr
+
+
 def cmd_evaluate(args):
     """Ensemble test-set evaluation: CRPS / MAE / spread / PSD
     (reference src/metrics.py + results.ipynb cell 12-14)."""
@@ -372,28 +411,7 @@ def cmd_evaluate(args):
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
 
-    if getattr(args, "member_mesh", 0) and args.member_mesh > 1:
-        # ensemble members sharded over a ("data", "member") mesh — the
-        # serve-path scaling axis (parallel/member_parallel.py); metrics
-        # math below is unchanged, only the generation is partitioned
-        from probunet_tpu.data.transforms import invert_physical_transform
-        from probunet_tpu.parallel import (
-            make_member_mesh, make_parallel_sample_step,
-        )
-        n_member = args.member_mesh
-        mesh = make_member_mesh(n_member=n_member)
-        gen = make_parallel_sample_step(model, cfg, mesh, num_samples=m)
-
-        @jax.jit
-        def sample_hr(hr_batch, key):
-            hr_pred = gen(params, hr_batch, key, stats)
-            gt = hr_batch
-            if cfg.data.transfo:
-                hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
-                gt = invert_physical_transform(gt, cfg.data.variables)
-            return hr_pred, gt
-    else:
-        sample_hr = None
+    sample_hr = _member_mesh_sampler(args, cfg, model, params, stats)
 
     @jax.jit
     def sample_hr_single(hr_batch, key):
@@ -674,25 +692,16 @@ def cmd_extremes(args):
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
 
+    # the member axis of the (30-year x M) sweep sharded over a
+    # ("data", "member") mesh — the multi-chip form of the reference's
+    # 10,950 x M serial loop (SURVEY.md §3.5)
+    member_sampler = _member_mesh_sampler(args, cfg, model, params, stats)
     sample_pixels = None
-    if getattr(args, "member_mesh", 0) and args.member_mesh > 1:
-        # the member axis of the (30-year x M) sweep sharded over a
-        # ("data", "member") mesh (parallel/member_parallel.py) — the
-        # multi-chip form of the reference's 10,950 x M serial loop
-        from probunet_tpu.data.transforms import invert_physical_transform
-        from probunet_tpu.parallel import (
-            make_member_mesh, make_parallel_sample_step,
-        )
-        mesh = make_member_mesh(n_member=args.member_mesh)
-        gen = make_parallel_sample_step(model, cfg, mesh, num_samples=m)
+    if member_sampler is not None:
 
         @jax.jit
         def sample_pixels(hr_batch, key):
-            hr_pred = gen(params, hr_batch, key, stats)
-            gt = hr_batch
-            if cfg.data.transfo:
-                hr_pred = invert_physical_transform(hr_pred, cfg.data.variables)
-                gt = invert_physical_transform(gt, cfg.data.variables)
+            hr_pred, gt = member_sampler(hr_batch, key)
             return hr_pred[:, :, ys, xs, var_idx], gt[:, ys, xs, var_idx]
 
     @jax.jit

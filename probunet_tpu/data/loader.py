@@ -68,11 +68,15 @@ def prefetch_to_device(
     directly in their sharded layout (DP input pipeline).
 
     Multi-process meshes: when ``sharding`` spans non-addressable devices
-    (a real jax.distributed run), each process contributes only its
+    (a real jax.distributed run), the iterator must yield the FULL global
+    batch on every process (deterministic Batches seeding guarantees all
+    processes see the same one); each process then contributes only its
     contiguous slab of the leading (batch) axis via
-    ``jax.make_array_from_process_local_data`` — the per-host input
-    discipline of SURVEY.md §2.5 P5. Iteration order (Batches seeding) is
-    deterministic, so every process slices the same global batch.
+    ``jax.make_array_from_process_local_data``. This trades per-host IO for
+    simplicity — for true per-host slab loading (each host reads only its
+    rows from disk, SURVEY.md §2.5 P5) drive the step directly with
+    ``parallel.multihost.process_local_indices`` + ``global_batch`` as
+    ``tests/mp_worker.py`` does.
     """
 
     queue: collections.deque = collections.deque()
@@ -82,6 +86,12 @@ def prefetch_to_device(
         import numpy as np
 
         n, i = jax.process_count(), jax.process_index()
+        if x.shape[0] % n:
+            raise ValueError(
+                f"global batch of {x.shape[0]} rows does not divide over "
+                f"{n} processes — rows would be silently dropped; make "
+                f"batch_size a multiple of the process count"
+            )
         per = x.shape[0] // n
         local = np.asarray(x[i * per:(i + 1) * per])
         return jax.make_array_from_process_local_data(sharding, local)

@@ -36,9 +36,7 @@ def initialize(**kwargs) -> None:
     # jax.distributed.initialize() refuses to run (found by the two-process
     # test: the wrapper itself was breaking the runtime it wraps). Inspect
     # the distributed client state instead.
-    from jax._src import distributed as _dist
-
-    if _initialized or getattr(_dist.global_state, "client", None) is not None:
+    if _initialized or jax.distributed.is_initialized():
         _initialized = True
         return
     if kwargs:

@@ -87,14 +87,27 @@ def main() -> None:
         )
         hr = apply_physical_transform(hr, cfg.data.variables)
         stats = compute_stats(hr, cfg.data.lowres_scale)
-        x = jnp.zeros((b, res[0], res[1], len(cfg.data.variables)),
+        # params are batch-size independent: init at B=1 (a global-batch
+        # init forward would OOM one chip at exactly the multi-chip sizes
+        # this script exists to measure)
+        x = jnp.zeros((1, res[0], res[1], len(cfg.data.variables)),
                       jnp.float32)
         state = create_train_state(model, x, x, seed=0, lr=cfg.train.lr)
         mesh = make_mesh(n_data=n, n_spatial=1,
                          devices=jax.devices()[:n])
         state = replicate_global(state, mesh)
         stats_g = replicate_global(stats, mesh)
-        batch = jax.device_put(hr, NamedSharding(mesh, P("data")))
+        sh = NamedSharding(mesh, P("data"))
+        if sh.is_fully_addressable:
+            batch = jax.device_put(hr, sh)
+        else:  # multi-host pod: contribute this process's slab only
+            import numpy as np
+
+            n_p, i_p = jax.process_count(), jax.process_index()
+            per = b // n_p
+            batch = jax.make_array_from_process_local_data(
+                sh, np.asarray(hr[i_p * per:(i_p + 1) * per])
+            )
         step = make_parallel_train_step(model, cfg, mesh, donate=False,
                                         spatial=False)
         b0 = replicate_global(jnp.float32(1.0), mesh)

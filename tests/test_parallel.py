@@ -427,9 +427,16 @@ def test_multiprocess_dp_two_processes():
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        # never leak a hung gloo worker onto this 1-core box
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MP_OK pid={pid}" in out, out[-3000:]
