@@ -32,6 +32,7 @@ whose value depends on the whole step chain.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -75,6 +76,14 @@ def main() -> None:
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
     from probunet_tpu.train.loop import make_eval_step, make_train_step
     from probunet_tpu.train.state import create_train_state
+    from probunet_tpu.utils.compile_opts import tuned_compiler_options
+
+    # PROBUNET_XLA_OPTS rides PJRT compiler_options into the server-side TPU
+    # compiler (XLA_FLAGS cannot: the client's flag parser aborts on TPU
+    # flags — see utils/compile_opts.py). Applied to every outer jit here;
+    # inner jits are inlined at trace time, so the outer one must carry it.
+    copts = tuned_compiler_options()
+    jit = functools.partial(jax.jit, compiler_options=copts)
 
     mode = os.environ.get("BENCH_MODE", "train")
     cfg = preset("probunet_multivar_128")
@@ -165,7 +174,7 @@ def main() -> None:
             lrinterp_from_batch, preprocess_batch, residual_to_hr,
         )
 
-        @jax.jit
+        @jit
         def gen(params, hr_batch, key):
             batch = preprocess_batch(hr_batch, stats, cfg.data.pipeline,
                                      cfg.data.lowres_scale,
@@ -185,7 +194,7 @@ def main() -> None:
         stacked = jnp.stack(batches)                   # (nb, b, H, W, C)
         key = jax.random.key(0)
 
-        @jax.jit
+        @jit
         def gen_epoch(params, hrs, key):
             def body(carry, inp):
                 hr_b, i = inp
@@ -237,7 +246,7 @@ def main() -> None:
         stacked = jnp.stack(batches)
 
         # scan-chained epochs: no per-step host dispatch in the window
-        @jax.jit
+        @jit
         def eval_epoch(params, hrs, key):
             def body(carry, inp):
                 hr_b, i = inp

@@ -31,6 +31,7 @@ from probunet_tpu.config import Config
 from probunet_tpu.ops.pallas.partition import set_kernel_mesh
 from probunet_tpu.train.loop import make_elbo_loss_fn, optax_global_norm
 from probunet_tpu.train.state import TrainState
+from probunet_tpu.utils.compile_opts import tuned_compiler_options
 
 
 def _shardings(mesh: Mesh, spatial: bool):
@@ -71,6 +72,7 @@ def make_parallel_train_step(
         in_shardings=(repl, batch_sh, repl, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=tuned_compiler_options(),
     )
     def step(state: TrainState, hr_batch, stats, beta_0, beta_1):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -108,6 +110,7 @@ def make_parallel_eval_step(
         jax.jit,
         in_shardings=(repl, repl, batch_sh, repl),
         out_shardings=repl,
+        compiler_options=tuned_compiler_options(),
     )
     def step(params, rng, hr_batch, stats):
         total, metrics = eval_loss_fn(

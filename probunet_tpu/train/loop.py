@@ -35,6 +35,7 @@ from probunet_tpu.models.prob_unet import ProbabilisticUNet
 from probunet_tpu.train.early_stop import EarlyStopper
 from probunet_tpu.train.schedule import beta_schedule
 from probunet_tpu.train.state import TrainState, create_train_state
+from probunet_tpu.utils.compile_opts import tuned_compiler_options
 
 
 def make_elbo_loss_fn(
@@ -92,7 +93,8 @@ def make_train_step(
     """
     loss_fn = make_elbo_loss_fn(model, cfg)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @partial(jax.jit, donate_argnums=(0,) if donate else (),
+             compiler_options=tuned_compiler_options())
     def step(state: TrainState, hr_batch, stats: Standardization, beta_0, beta_1):
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -123,7 +125,7 @@ def make_eval_step(model: ProbabilisticUNet, cfg: Config) -> Callable:
     multi-device evaluation produce identical values."""
     eval_loss_fn = make_elbo_loss_fn(model, cfg, training=False)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=tuned_compiler_options())
     def step(params, rng, hr_batch, stats: Standardization):
         total, metrics = eval_loss_fn(
             params, rng, hr_batch, stats, jnp.float32(1.0), jnp.float32(0.0)
@@ -152,7 +154,8 @@ def make_deterministic_train_step(model, cfg: Config, donate: bool = True):
         per_var = err.mean(axis=tuple(range(err.ndim - 1)))  # (C,)
         return per_var.mean(), per_var
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @partial(jax.jit, donate_argnums=(0,) if donate else (),
+             compiler_options=tuned_compiler_options())
     def step(state: TrainState, hr_batch, stats: Standardization):
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, per_var), grads = jax.value_and_grad(loss_fn, has_aux=True)(
