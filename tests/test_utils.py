@@ -239,3 +239,27 @@ def test_plot_return_levels_multi_model(tmp_path):
     plot_return_levels([(a, n) for n, a in analyses.items()],
                        save_path=str(p2))
     assert p2.stat().st_size > 5000
+
+
+def test_tuned_compiler_options_parsing(monkeypatch):
+    """PROBUNET_XLA_OPTS parsing for the PJRT compiler_options channel
+    (utils/compile_opts.py; XLA_FLAGS cannot reach the server-side TPU
+    compiler on the remote backend)."""
+    from probunet_tpu.utils.compile_opts import tuned_compiler_options
+
+    monkeypatch.delenv("PROBUNET_XLA_OPTS", raising=False)
+    assert tuned_compiler_options() is None  # CPU: no defaults apply
+
+    monkeypatch.setenv("PROBUNET_XLA_OPTS",
+                       " xla_tpu_rwb_fusion=true ; k2 = v2 ;")
+    assert tuned_compiler_options() == {
+        "xla_tpu_rwb_fusion": "true", "k2": "v2"}
+
+    for off in ("", "none", "  "):
+        monkeypatch.setenv("PROBUNET_XLA_OPTS", off)
+        assert tuned_compiler_options() is None
+
+    monkeypatch.setenv("PROBUNET_XLA_OPTS", "not_a_pair")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key=value"):
+        tuned_compiler_options()
