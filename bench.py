@@ -55,15 +55,24 @@ def _sync(x) -> float:
     return float(jax.device_get(jnp.ravel(x)[0]))
 
 
-def _flops_per_step(compiled) -> float | None:
-    """Total FLOPs of one compiled step, from XLA's cost analysis."""
+def _cost_per_step(compiled) -> tuple[float | None, float | None]:
+    """(FLOPs, HBM bytes accessed) of one compiled step, from XLA's cost
+    analysis. Bytes are post-fusion — only buffers that cross HBM count —
+    which anchors the roofline claim in DESIGN.md ("HBM roofline")."""
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca["flops"])
+        flops = float(ca["flops"])
+        ba = ca.get("bytes accessed")
+        return flops, (float(ba) if ba is not None else None)
     except Exception:
-        return None
+        return None, None
+
+
+def _flops_per_step(compiled) -> float | None:
+    """Total FLOPs of one compiled step, from XLA's cost analysis."""
+    return _cost_per_step(compiled)[0]
 
 
 def main() -> None:
@@ -302,7 +311,7 @@ def main() -> None:
 
     samples_per_sec = n_steps * b / dt
     sec_per_step = dt / n_steps
-    flops = _flops_per_step(
+    flops, hbm_bytes = _cost_per_step(
         step.lower(state, batches[0], stats, b0, b1).compile()
     )
     if mode == "msssim":
@@ -326,6 +335,13 @@ def main() -> None:
         # figure when compute runs in f32 (the MXU f32 path is slower)
         result["mfu_vs_v5e_bf16_peak"] = round(
             flops / sec_per_step / V5E_BF16_PEAK_FLOPS, 4
+        )
+    if hbm_bytes is not None:
+        result["hbm_bytes_per_step"] = hbm_bytes
+        # fraction of the v5e 819 GB/s HBM roofline the step sustains —
+        # the binding resource for this model shape (DESIGN.md)
+        result["hbm_bw_util_vs_819GBps"] = round(
+            hbm_bytes / sec_per_step / 819e9, 4
         )
     print(json.dumps(result))
 
