@@ -122,6 +122,11 @@ def main() -> None:
     # levels hold the largest activations, so selective remat buys most of
     # the memory at a fraction of the recompute. ("0" alone means OFF —
     # reference level 0 by itself as "0,".)
+    # BENCH_DROPOUT overrides model dropout (BENCH_DROPOUT=0 bounds the
+    # total cost of dropout: RNG bit generation — u32 tensors 2× the bf16
+    # activation bytes, see scripts/hlo_traffic.py — plus mask traffic).
+    if "BENCH_DROPOUT" in os.environ:
+        cfg.model.dropout = float(os.environ["BENCH_DROPOUT"])
     remat_env = os.environ.get("BENCH_REMAT", "0")
     if "," in remat_env or remat_env not in ("0", "1"):
         cfg.train.remat_levels = tuple(
