@@ -45,6 +45,31 @@ INIT_EDM = ("kaiming_uniform", math.sqrt(1.0 / 3.0), math.sqrt(1.0 / 3.0))
 INIT_ZERO = ("kaiming_uniform", 0.0, 0.0)
 
 
+def _dropout(rng, y, drop_p: float):
+    """Inverted dropout. Default: ``jax.random.bernoulli`` (u32 bits).
+
+    The mask's u32 random bits are the step's one non-parity-constrained
+    byte sink (19.2 GB of 122.4 GB, BENCH_DROPOUT=0 A/B — see DESIGN.md
+    "HBM roofline"). The obvious fix — draw u32 at half shape, bitcast
+    to u16, threshold at round(p*65536) — is implemented below as
+    PROBUNET_DROPOUT_BITS=16 but RETIRED as a default on measurement:
+    624 samples/s and 126.8 GB/step vs bernoulli's 639 / 122.4 — the
+    bitcast+reshape forces a layout materialization that costs more
+    than the halved generation saves. (Trace-time capture, like
+    PROBUNET_CRPS_IMPL.) The real fix is in-kernel PRNG regenerated in
+    the backward pass (round-4 lever)."""
+    import os
+
+    c = y.shape[-1]
+    if c % 2 == 0 and os.environ.get("PROBUNET_DROPOUT_BITS", "32") == "16":
+        raw = jax.random.bits(rng, y.shape[:-1] + (c // 2,), jnp.uint32)
+        bits = lax.bitcast_convert_type(raw, jnp.uint16).reshape(y.shape)
+        keep = bits >= jnp.uint16(round(drop_p * 65536.0))
+    else:
+        keep = jax.random.bernoulli(rng, 1.0 - drop_p, y.shape)
+    return jnp.where(keep, y / (1.0 - drop_p), 0).astype(y.dtype)
+
+
 def edm_init(mode: str, fan_in: int, fan_out: int, scale: float):
     """Initializer implementing reference src/networks.py:21-26 semantics."""
 
@@ -270,8 +295,7 @@ class EDMGroupNorm(nn.Module):
             y = shift[:, None, None, :] + y * (scale[:, None, None, :] + 1)
         y = nn.silu(y) if silu else y
         if drop_p > 0.0:
-            keep = jax.random.bernoulli(drop_rng, 1.0 - drop_p, y.shape)
-            y = jnp.where(keep, y / (1.0 - drop_p), 0).astype(y.dtype)
+            y = _dropout(drop_rng, y, drop_p)
         return y
 
 
