@@ -57,8 +57,18 @@ def _dropout(rng, y, drop_p: float):
     bitcast+reshape forces a layout materialization that costs more
     than the halved generation saves. (Trace-time capture, like
     PROBUNET_CRPS_IMPL.) The real fix is in-kernel PRNG regenerated in
-    the backward pass (round-4 lever)."""
+    the backward pass: PROBUNET_DROPOUT_IMPL=pallas routes through
+    ops/pallas/dropout.py — zero mask bytes in HBM, mask recomputed
+    in-register in both directions."""
     import os
+
+    if os.environ.get("PROBUNET_DROPOUT_IMPL") == "pallas":
+        from probunet_tpu.ops.pallas import dropout as pl_dropout
+
+        if pl_dropout.supported(y.shape):
+            kd = jax.random.key_data(rng).ravel()
+            seed2 = kd[:2].astype(jnp.int32)
+            return pl_dropout.dropout(y, seed2, float(drop_p))
 
     c = y.shape[-1]
     if c % 2 == 0 and os.environ.get("PROBUNET_DROPOUT_BITS", "32") == "16":

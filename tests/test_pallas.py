@@ -201,3 +201,43 @@ class TestFusedFcombCrps:
         for a, b_ in zip(jax.tree.leaves(g_un), jax.tree.leaves(g_fu)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=5e-4, atol=1e-6)
+
+
+class TestPallasDropout:
+    """Zero-storage dropout kernel (ops/pallas/dropout.py — retired as a
+    default with data, kept opt-in; reference nn.Dropout semantics,
+    src/networks.py:176)."""
+
+    def test_mask_semantics_and_bwd_regeneration(self):
+        from probunet_tpu.ops.pallas.dropout import dropout, supported
+
+        key = jax.random.key(3)
+        seed2 = jax.random.key_data(key).ravel()[:2].astype(jnp.int32)
+        y = jnp.ones((8, 16, 16, 32), jnp.bfloat16)
+        assert supported(y.shape)
+        out = jax.jit(lambda y, s: dropout(y, s, 0.10))(y, seed2)
+        kept = float((out != 0).mean())
+        assert 0.85 < kept < 0.95
+        vals = {float(v) for v in np.unique(np.asarray(out, np.float32))}
+        assert vals <= {0.0, float(jnp.bfloat16(1.0 / 0.9))}
+        # backward regenerates the IDENTICAL mask from the seed: dx is
+        # g/(1-p) exactly where the forward kept, 0 exactly where dropped
+        g = jnp.full(y.shape, 2.0, jnp.bfloat16)
+        _, vjp = jax.vjp(lambda y: dropout(y, seed2, 0.10), y)
+        dx, = vjp(g)
+        expect = np.where(np.asarray(out) != 0, 2.0 / 0.9, 0.0)
+        np.testing.assert_allclose(np.asarray(dx, np.float32),
+                                   expect.astype(np.float32), rtol=1e-2)
+
+    def test_layer_opt_in(self, monkeypatch):
+        from probunet_tpu.models import layers
+
+        monkeypatch.setenv("PROBUNET_DROPOUT_IMPL", "pallas")
+        key = jax.random.key(0)
+        y = jnp.ones((4, 8, 8, 32), jnp.float32)
+        out = layers._dropout(key, y, 0.25)
+        kept = float((out != 0).mean())
+        assert 0.60 < kept < 0.88
+        # unsupported shape falls back to bernoulli
+        out2 = layers._dropout(key, jnp.ones((3, 5, 5, 3)), 0.25)
+        assert 0.4 < float((out2 != 0).mean()) < 1.0
