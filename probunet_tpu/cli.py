@@ -387,13 +387,18 @@ def _member_mesh_sampler(args, cfg, model, params, stats):
 
 def cmd_evaluate(args):
     """Ensemble test-set evaluation: CRPS / MAE / spread / PSD
-    (reference src/metrics.py + results.ipynb cell 12-14)."""
+    (reference src/metrics.py + results.ipynb cell 12-14).
+
+    STREAMING: every metric is reduced on device per batch
+    (evals/streaming.py) and only (B, C) / (k, C) partials cross the
+    host link — the (T, M, H, W, C) ensemble is never materialized
+    (the reference holds it all in host RAM; at the real 3,650-day x
+    M=16 scale that is ~11.5 GB over a ~1000x-slow remote link)."""
     import jax
     import jax.numpy as jnp
 
     from probunet_tpu.data.loader import Batches
-    from probunet_tpu.evals import (compute_mae, crps_over_groundtruth,
-                                    ensemble_spread, psd_over_dataset)
+    from probunet_tpu.evals import EvalAccumulator
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
     from probunet_tpu.train.checkpoint import CheckpointManager
 
@@ -441,27 +446,31 @@ def cmd_evaluate(args):
     if sample_hr is None:
         sample_hr = sample_hr_single
 
-    ens, gts = [], []
+    acc = EvalAccumulator()
     key = jax.random.key(0)
     n_items = min(len(ds_test), args.max_items or len(ds_test))
     for i, idx in enumerate(Batches(n_items, args.batch_size)):
         e, g = sample_hr(jnp.asarray(ds_test.get_hr_batch(idx)),
                          jax.random.fold_in(key, i))
-        ens.append(np.asarray(e))
-        gts.append(np.asarray(g))
-    ens = np.concatenate(ens)
-    gt = np.concatenate(gts)
+        acc.update(e, g)  # device-side reductions; (B, C) rows to host
+    if args.outdir:
+        # second pass for the pooled-pixel histogram figure: its shared bin
+        # range is only known after the full metric pass. fold_in(key, i)
+        # regenerates bit-identical ensembles, so the two-pass histogram
+        # equals the materialized one exactly.
+        for i, idx in enumerate(Batches(n_items, args.batch_size)):
+            e, g = sample_hr(jnp.asarray(ds_test.get_hr_batch(idx)),
+                             jax.random.fold_in(key, i))
+            acc.update_hist(e, g)
+    res = acc.result()
 
-    crps = crps_over_groundtruth(ens, gt)
-    mae = compute_mae(ens, gt)
-    spread = ensemble_spread(ens)
     out = {
         "members": m,
-        "items": int(ens.shape[0]),
-        "crps_mean": np.asarray(crps["mean"]).tolist(),
-        "crps_std": np.asarray(crps["std"]).tolist(),
-        "mae_mean": np.asarray(mae["mean"]).tolist(),
-        "spread": np.asarray(spread).tolist(),
+        "items": res["items"],
+        "crps_mean": res["crps"]["mean"].tolist(),
+        "crps_std": res["crps"]["std"].tolist(),
+        "mae_mean": res["mae"]["mean"].tolist(),
+        "spread": res["spread"].tolist(),
     }
     print(json.dumps(out))
     if args.outdir:
@@ -469,16 +478,17 @@ def cmd_evaluate(args):
         with open(os.path.join(args.outdir, "eval.json"), "w") as f:
             json.dump(out, f, indent=2)
         from probunet_tpu.utils.plotting import plot_histograms, plot_psd
-        psd_gt = psd_over_dataset(gt)
-        psd_model = psd_over_dataset(ens.mean(axis=1))
-        plot_psd({"gt": psd_gt, "model": psd_model},
+        plot_psd({"gt": res["psd_gt"], "model": res["psd_model"]},
                  variables=cfg.data.variables,
                  save_path=os.path.join(args.outdir, "psd.png"))
         # distribution-fidelity figure: pooled pixel-value log-histograms of
-        # GT vs the model ensemble (results.ipynb cell 15)
-        from probunet_tpu.evals.histograms import compare_histograms
-        hist = compare_histograms(gt, {"model": ens},
-                                  variables=cfg.data.variables)
+        # GT vs the model ensemble (results.ipynb cell 15), streamed counts
+        hist = {
+            var: {"bins": res["hist"]["centers"][ci],
+                  "gt": res["hist"]["gt_log"][ci],
+                  "model": res["hist"]["model_log"][ci]}
+            for ci, var in enumerate(cfg.data.variables)
+        }
         plot_histograms(hist,
                         save_path=os.path.join(args.outdir, "histograms.png"))
 

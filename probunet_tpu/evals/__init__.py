@@ -14,6 +14,7 @@ from probunet_tpu.evals.metrics import (
     residual_contribution,
 )
 from probunet_tpu.evals.psd import psd, psd_over_dataset
+from probunet_tpu.evals.streaming import EvalAccumulator
 from probunet_tpu.evals.histograms import log_histogram
 from probunet_tpu.evals.gev import (
     compute_annual_block_maxima,
@@ -34,6 +35,7 @@ __all__ = [
     "residual_contribution",
     "psd",
     "psd_over_dataset",
+    "EvalAccumulator",
     "log_histogram",
     "compute_annual_block_maxima",
     "gev_fit",

@@ -74,7 +74,11 @@ def _dropout(rng, y, drop_p: float):
     if c % 2 == 0 and os.environ.get("PROBUNET_DROPOUT_BITS", "32") == "16":
         raw = jax.random.bits(rng, y.shape[:-1] + (c // 2,), jnp.uint32)
         bits = lax.bitcast_convert_type(raw, jnp.uint16).reshape(y.shape)
-        keep = bits >= jnp.uint16(round(drop_p * 65536.0))
+        # Clamp to [1, 65535]: round(p*65536) is 0 for p < ~7.6e-6 (dropout
+        # would silently no-op, unlike bernoulli) and 65536 wraps uint16 to
+        # 0 at p=1.0 (would KEEP everything instead of dropping all).
+        thresh = min(max(round(drop_p * 65536.0), 1), 65535)
+        keep = bits >= jnp.uint16(thresh)
     else:
         keep = jax.random.bernoulli(rng, 1.0 - drop_p, y.shape)
     return jnp.where(keep, y / (1.0 - drop_p), 0).astype(y.dtype)

@@ -35,7 +35,10 @@ def tuned_compiler_options() -> dict[str, str] | None:
     """The compiler_options dict for jitted steps (None = compiler defaults)."""
     spec = os.environ.get("PROBUNET_XLA_OPTS")
     if spec is None:
-        if jax.default_backend() == "tpu" and _TPU_DEFAULTS:
+        # Cheap check first: with no defaults there is nothing to apply, and
+        # jax.default_backend() would force backend initialization at
+        # step-build time (possibly before a PROBUNET_PLATFORM override).
+        if _TPU_DEFAULTS and jax.default_backend() == "tpu":
             return dict(_TPU_DEFAULTS)
         return None
     spec = spec.strip()

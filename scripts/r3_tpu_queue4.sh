@@ -25,6 +25,11 @@ run bench_bs192_rematL0  1200 -- BENCH_BS=192 BENCH_REMAT=0, python bench.py
 run bench_bs256_rematL0  1200 -- BENCH_BS=256 BENCH_REMAT=0, python bench.py
 run bench_bs256_rematL01 1200 -- BENCH_BS=256 BENCH_REMAT=0,1 python bench.py
 
+# HISTORICAL EVIDENCE, NOT RUNNABLE: every XLA_FLAGS rung below ABORTS in
+# the client-side flag parser on this backend (the client XLA build does
+# not register --xla_tpu_* flags — see utils/compile_opts.py). Kept as the
+# record of what was attempted; queue5 re-ran the ladder through the
+# working channel (PROBUNET_XLA_OPTS -> PJRT compiler_options).
 # GN is reduce(H,W,C/G) -> broadcast-apply: the rwb (reduce+broadcast)
 # fusion pass is the targeted lever; multi_dim_reduce_rwb lets it fire on
 # the multi-dim GN reduce. The =false run calibrates the default.

@@ -168,3 +168,88 @@ def test_return_level_analysis_end_to_end():
     assert out["block_maxima"].shape == (30,)
     assert np.all(np.isfinite(out["return_levels"]))
     assert out["bootstrap"]["n_valid"] > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming evaluation (evals/streaming.py)
+# ---------------------------------------------------------------------------
+
+def test_streaming_matches_materialized():
+    """Batched EvalAccumulator == materialized metrics/PSD/histograms on the
+    concatenated data (VERDICT r3 item 3: `evaluate` must never hold the
+    (T, M, H, W, C) ensemble)."""
+    from probunet_tpu.evals import EvalAccumulator
+    from probunet_tpu.evals.histograms import compare_histograms
+
+    rng = np.random.default_rng(3)
+    t, m, h, w, c, bs = 11, 6, 8, 8, 3, 4
+    ens = rng.standard_normal((t, m, h, w, c)).astype(np.float32)
+    gt = rng.standard_normal((t, h, w, c)).astype(np.float32)
+
+    acc = EvalAccumulator(hist_bins=50)
+    for i in range(0, t, bs):  # ragged final batch on purpose
+        acc.update(ens[i:i + bs], gt[i:i + bs])
+    for i in range(0, t, bs):
+        acc.update_hist(ens[i:i + bs], gt[i:i + bs])
+    res = acc.result()
+
+    want_crps = crps_over_groundtruth(ens, gt)
+    want_mae = compute_mae(ens, gt)
+    np.testing.assert_allclose(res["crps"]["per_timestep"],
+                               np.asarray(want_crps["per_timestep"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res["crps"]["mean"],
+                               np.asarray(want_crps["mean"]), rtol=1e-5)
+    np.testing.assert_allclose(res["crps"]["std"],
+                               np.asarray(want_crps["std"]), rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(res["mae"]["per_timestep"],
+                               np.asarray(want_mae["per_timestep"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res["spread"],
+                               np.asarray(ensemble_spread(ens)), rtol=1e-5)
+    np.testing.assert_allclose(res["psd_gt"],
+                               np.asarray(psd_over_dataset(gt)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(res["psd_model"],
+                               np.asarray(psd_over_dataset(ens.mean(axis=1))),
+                               rtol=1e-4)
+
+    # histogram: same shared global range -> streamed counts must equal one
+    # materialized histogram of the pooled pixels, per variable
+    want_hist = compare_histograms(gt, {"model": ens}, bins=50,
+                                   variables=("a", "b", "c"))
+    for ci, var in enumerate(("a", "b", "c")):
+        np.testing.assert_allclose(res["hist"]["centers"][ci],
+                                   want_hist[var]["bins"], rtol=1e-5)
+        gv = gt[..., ci].reshape(-1)
+        lo, hi = res["hist"]["lo"][ci], res["hist"]["hi"][ci]
+        want_counts, _ = np.histogram(gv, bins=50, range=(lo, hi))
+        np.testing.assert_array_equal(res["hist"]["gt_counts"][ci],
+                                      want_counts)
+        mv = ens[..., ci].reshape(-1)
+        want_mcounts, _ = np.histogram(mv, bins=50, range=(lo, hi))
+        np.testing.assert_array_equal(res["hist"]["model_counts"][ci],
+                                      want_mcounts)
+
+
+def test_streaming_batch_invariance():
+    """Identical results regardless of batch split."""
+    from probunet_tpu.evals import EvalAccumulator
+
+    rng = np.random.default_rng(5)
+    ens = rng.standard_normal((8, 4, 6, 6, 2)).astype(np.float32)
+    gt = rng.standard_normal((8, 6, 6, 2)).astype(np.float32)
+
+    outs = []
+    for bs in (2, 8):
+        acc = EvalAccumulator()
+        for i in range(0, 8, bs):
+            acc.update(ens[i:i + bs], gt[i:i + bs])
+        outs.append(acc.result())
+    np.testing.assert_allclose(outs[0]["crps"]["mean"],
+                               outs[1]["crps"]["mean"], rtol=1e-6)
+    np.testing.assert_allclose(outs[0]["psd_model"], outs[1]["psd_model"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(outs[0]["spread"], outs[1]["spread"],
+                               rtol=1e-6)
