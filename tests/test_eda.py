@@ -21,12 +21,33 @@ def test_day_of_year_and_seasons():
 
 
 def test_rank_matches_scipy():
+    """Average-tie ranks — bottleneck.rankdata semantics (reference
+    src/baseline/climex_utils.py:529-540), exercised WITH ties (pr has
+    exact zeros)."""
     from scipy.stats import rankdata
     rng = np.random.default_rng(0)
     x = rng.standard_normal((50, 4, 3))
+    x[x < 0] = 0.0  # heavy ties, like a pr field
     got = _rank(x, axis=0)
-    want = rankdata(x, method="ordinal", axis=0) - 1
+    want = rankdata(x, method="average", axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_spearman_with_ties_matches_scipy():
+    """Spearman maps on tied data must equal scipy.stats.spearmanr per
+    pixel (ordinal ranks would not — VERDICT r3 weak #5)."""
+    from scipy.stats import spearmanr
+    rng = np.random.default_rng(7)
+    t, h, w = 120, 4, 4
+    x = rng.standard_normal((t, h, w, 1)).astype(np.float32)
+    x[x < 0.3] = 0.0  # ~60% exact zeros -> massive ties
+    eda = ClimexEDA(x, variables=("pr",))
+    corr = eda.spearman_crosscorrelation("pr", (1, 2))
+    ref = x[:, 1, 2, 0]
+    for i in range(h):
+        for j in range(w):
+            want = spearmanr(x[:, i, j, 0], ref).statistic
+            np.testing.assert_allclose(corr[i, j], want, atol=1e-12)
 
 
 @pytest.fixture(scope="module")
@@ -79,3 +100,52 @@ def test_lagged_autocorrelation(eda):
     assert set(ac) == {1, 30}
     # smooth seasonal signal: lag-1 autocorrelation > lag-30
     assert ac[1].mean() > ac[30].mean() > 0
+
+
+def test_chunked_equals_unchunked(eda):
+    """Row-/time-chunked streaming must reproduce the single-pass values
+    exactly (VERDICT r3 next #6: the docstring-promised chunking)."""
+    small = ClimexEDA(eda.hr, row_chunk=3, time_chunk=101)
+    assert small.row_chunk == 3 and small.time_chunk == 101
+
+    a = eda.seasonal_stats("pr")
+    b = small.seasonal_stats("pr")
+    for season in a:
+        for stat in a[season]:
+            np.testing.assert_array_equal(a[season][stat], b[season][stat])
+
+    np.testing.assert_allclose(
+        eda.doy_profile("tasmax", "rlon"), small.doy_profile("tasmax", "rlon"),
+        rtol=1e-6)
+    np.testing.assert_array_equal(
+        eda.interannual_seasonal_series("tasmin", "JJA", "q75"),
+        small.interannual_seasonal_series("tasmin", "JJA", "q75"))
+    np.testing.assert_array_equal(
+        eda.spearman_crosscorrelation("tasmin", (4, 4)),
+        small.spearman_crosscorrelation("tasmin", (4, 4)))
+    a = eda.lagged_autocorrelation("tasmin", lags=(2,))
+    b = small.lagged_autocorrelation("tasmin", lags=(2,))
+    np.testing.assert_array_equal(a[2], b[2])
+
+
+def test_memmap_streaming(tmp_path):
+    """EDA over an np.memmap runs chunk-wise without materializing the
+    stack (the full-scale bounded-RAM demonstration at the real
+    (10950, 280, 280, 3) shape lives in scripts/eda_fullscale.py)."""
+    rng = np.random.default_rng(3)
+    shape = (365 * 2, 16, 16, 2)
+    path = tmp_path / "stack.dat"
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=shape)
+    mm[:] = rng.standard_normal(shape).astype(np.float32)
+    mm.flush()
+    ro = np.memmap(path, dtype=np.float32, mode="r", shape=shape)
+
+    eda_mm = ClimexEDA(ro, variables=("pr", "tasmin"), row_chunk=5,
+                       time_chunk=200)
+    eda_ram = ClimexEDA(np.asarray(ro), variables=("pr", "tasmin"))
+    np.testing.assert_array_equal(
+        eda_mm.seasonal_stats("pr")["DJF"]["median"],
+        eda_ram.seasonal_stats("pr")["DJF"]["median"])
+    np.testing.assert_array_equal(
+        eda_mm.spearman_crosscorrelation("tasmin", (8, 8)),
+        eda_ram.spearman_crosscorrelation("tasmin", (8, 8)))
