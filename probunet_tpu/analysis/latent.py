@@ -189,6 +189,7 @@ def collapse_diagnostics(
     num_samples: int = 16,
     max_items: int | None = 256,
     seed: int = 0,
+    n_contexts: int = 32,
 ) -> dict:
     """Run the latent-collapse probe battery on a trained model.
 
@@ -205,8 +206,14 @@ def collapse_diagnostics(
       8. grad-z / grad-feature ratio (:459-491)
       9. fcomb activation scale split (:493-603)
      10. mean KL(q||p) over the probe set
+
+    Probes 5-10 aggregate over ``n_contexts`` items spread evenly across
+    the dataset (the reference iterates its loaders over the test set for
+    these, src/latent_exploration.py:302-327,459-491 — one context can
+    mislead on a heterogeneous climate domain). ``n_contexts=1`` is the
+    single-context fast path. Probes 2-3 (grid decodes against frozen
+    features) stay on context 0, as in the reference (:119-144).
     """
-    rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
 
     lat = collect_latents(model, params, dataset, batch_size,
@@ -214,17 +221,21 @@ def collapse_diagnostics(
     sigma_spectrum = lat["sigma"].mean(axis=0)           # (D,)
     mu_spread = lat["mu"].std(axis=0)                    # (D,)
 
-    # one probe context
-    idx0 = np.array([0])
-    hr0 = jnp.asarray(dataset.get_hr_batch(idx0))
-    batch0 = dataset.preprocess(hr0)
-    x0, y0 = batch0["inputs"], batch0["targets"]
+    # probe contexts: spread evenly over the dataset (or its max_items cap)
+    n_avail = len(dataset) if max_items is None else min(max_items,
+                                                         len(dataset))
+    n_contexts = max(1, min(n_contexts, n_avail))
+    idxs = np.unique(np.linspace(0, n_avail - 1, n_contexts).astype(int))
+    hrs = jnp.asarray(dataset.get_hr_batch(idxs))
+    batch = dataset.preprocess(hrs)
+    x, y = batch["inputs"], batch["targets"]
 
-    feats0, prior0, post0 = model.apply(
-        {"params": params}, x0, y0, method=ProbabilisticUNet.encode
+    feats, prior, post = model.apply(
+        {"params": params}, x, y, method=ProbabilisticUNet.encode
     )
-    mu0 = np.asarray(prior0.mu[0])
-    sig0 = np.asarray(prior0.sigma[0])
+    feats0 = feats[:1]
+    mu0 = np.asarray(prior.mu[0])
+    sig0 = np.asarray(prior.sigma[0])
     d = mu0.shape[0]
 
     def decode(zs):
@@ -248,59 +259,70 @@ def collapse_diagnostics(
     feat_w_norm = float(np.linalg.norm(w1[:c]) / np.sqrt(c))
     z_w_norm = float(np.linalg.norm(w1[c:]) / np.sqrt(d))
 
-    # 5. reconstruction variance ratio: var over prior samples / target var
+    # 5. reconstruction variance ratio over the probe set: per-context
+    # prior-ensemble variance / per-context target variance (reference
+    # aggregates over its test loader, src/latent_exploration.py:302-327)
     samples = model.apply(
-        {"params": params}, x0, num_samples=num_samples,
+        {"params": params}, x, num_samples=num_samples,
         method=ProbabilisticUNet.sample, rngs={"latent": key},
-    )  # (1, M, H, W, K)
-    sample_var = float(np.asarray(samples.std(axis=1, ddof=1) ** 2).mean())
-    target_var = float(np.asarray(y0.var()))
-    var_ratio = sample_var / max(target_var, 1e-12)
+    )  # (N, M, H, W, K)
+    var_per_ctx = np.asarray(
+        (samples.std(axis=1, ddof=1) ** 2).mean(axis=(1, 2, 3)))   # (N,)
+    tgt_var_per_ctx = np.asarray(y.reshape(y.shape[0], -1).var(axis=1))
+    ratio_per_ctx = var_per_ctx / np.maximum(tgt_var_per_ctx, 1e-12)
+    var_ratio = float(var_per_ctx.mean() / max(tgt_var_per_ctx.mean(),
+                                               1e-12))
 
-    # 6. 4-way ablation in residual space: {feats, 0} x {z, 0}
-    zeros_f = jnp.zeros_like(feats0)
-    z_samp = np.asarray(prior0.rsample(jax.random.fold_in(key, 1)))
-    dec = {
-        "feat_z": decode(z_samp),
-        "feat_z0": decode(np.zeros_like(z_samp)),
-    }
+    # 6. 4-way ablation in residual space over the probe set:
+    # {feats, 0} x {z, 0}, each context decoding its own prior draw
+    zeros_f = jnp.zeros_like(feats)
+    z_samp = np.asarray(prior.rsample(jax.random.fold_in(key, 1)))  # (N, D)
+
     def decode_with(f, zs):
-        out = model.apply({"params": params}, f, jnp.asarray(zs, jnp.float32)[:, None, :],
-                          method=ProbabilisticUNet.decode)
-        return np.asarray(out[0])
-    dec["feat0_z"] = decode_with(zeros_f, z_samp)
-    dec["feat0_z0"] = decode_with(zeros_f, np.zeros_like(z_samp))
+        out = model.apply(
+            {"params": params}, f, jnp.asarray(zs, jnp.float32),
+            method=ProbabilisticUNet.decode)  # zs (N, D) -> (N, H, W, K)
+        return np.asarray(out)
+
+    dec = {
+        "feat_z": decode_with(feats, z_samp),
+        "feat_z0": decode_with(feats, np.zeros_like(z_samp)),
+        "feat0_z": decode_with(zeros_f, z_samp),
+        "feat0_z0": decode_with(zeros_f, np.zeros_like(z_samp)),
+    }
     ablation = {k: float(np.abs(v).mean()) for k, v in dec.items()}
 
-    # 7. output-vs-target stats
+    # 7. output-vs-target stats over the probe set
     out_mean = float(np.asarray(samples.mean()))
     out_std = float(np.asarray(samples.std()))
-    tgt_mean = float(np.asarray(y0.mean()))
-    tgt_std = float(np.asarray(y0.std()))
+    tgt_mean = float(np.asarray(y.mean()))
+    tgt_std = float(np.asarray(y.std()))
 
-    # 8. gradient ratio ||d out / d z|| vs ||d out / d feats||
+    # 8. gradient ratio ||d out / d z|| vs ||d out / d feats||, RMS over
+    # the probe set (reference src/latent_exploration.py:459-491)
     def out_norm(f, z):
         o = model.apply({"params": params}, f, z,
                         method=ProbabilisticUNet.decode)
         return jnp.sum(o ** 2)
 
     z0j = jnp.asarray(z_samp)
-    gf, gz = jax.grad(out_norm, argnums=(0, 1))(feats0, z0j)
-    grad_feat = float(jnp.linalg.norm(gf) / np.sqrt(np.prod(feats0.shape)))
+    gf, gz = jax.grad(out_norm, argnums=(0, 1))(feats, z0j)
+    grad_feat = float(jnp.linalg.norm(gf) / np.sqrt(np.prod(feats.shape)))
     grad_z = float(jnp.linalg.norm(gz) / np.sqrt(np.prod(z0j.shape)))
     grad_ratio = grad_z / max(grad_feat, 1e-12)
 
     # 9. fcomb activation scale split: |feat contribution| vs |z contribution|
     w1j = jnp.asarray(w1)
-    feat_act = float(jnp.abs(jnp.dot(feats0, w1j[:c])).mean())
+    feat_act = float(jnp.abs(jnp.dot(feats, w1j[:c])).mean())
     z_act = float(jnp.abs(jnp.dot(z0j, w1j[c:])).mean())
 
-    # 10. mean KL(q||p) on the probe context
+    # 10. mean KL(q||p) over the probe set
     from probunet_tpu.ops.distributions import kl_diag_gaussians
-    kl0 = float(np.asarray(kl_diag_gaussians(post0, prior0)).mean())
+    kl0 = float(np.asarray(kl_diag_gaussians(post, prior)).mean())
 
     return {
         "latent_dim": d,
+        "n_contexts": int(len(idxs)),
         "prior_sigma_spectrum": sigma_spectrum,
         "prior_mu_spread": mu_spread,
         "extreme_z_delta": extreme_delta,
@@ -308,6 +330,7 @@ def collapse_diagnostics(
         "fcomb_feat_weight_norm": feat_w_norm,
         "fcomb_z_weight_norm": z_w_norm,
         "sample_variance_ratio": var_ratio,
+        "sample_variance_ratio_per_context": ratio_per_ctx,
         "ablation_mean_abs": ablation,
         "output_stats": {"mean": out_mean, "std": out_std},
         "target_stats": {"mean": tgt_mean, "std": tgt_std},
@@ -328,6 +351,7 @@ def format_summary(diag: dict) -> str:
         "latent collapse diagnostics",
         "=" * 40,
         f"latent_dim                 : {diag['latent_dim']}",
+        f"probe contexts             : {diag.get('n_contexts', 1)}",
         f"prior sigma (mean/min/max) : "
         f"{diag['prior_sigma_spectrum'].mean():.4g} / "
         f"{diag['prior_sigma_spectrum'].min():.4g} / "
@@ -338,7 +362,13 @@ def format_summary(diag: dict) -> str:
         f"{diag['z_sensitivity'].max():.4g}",
         f"fcomb weight norm feat/z   : {diag['fcomb_feat_weight_norm']:.4g} / "
         f"{diag['fcomb_z_weight_norm']:.4g}",
-        f"sample/target var ratio    : {diag['sample_variance_ratio']:.4g}",
+        f"sample/target var ratio    : {diag['sample_variance_ratio']:.4g}"
+        + (
+            "  (per-context min/max "
+            f"{np.min(diag['sample_variance_ratio_per_context']):.3g}/"
+            f"{np.max(diag['sample_variance_ratio_per_context']):.3g})"
+            if "sample_variance_ratio_per_context" in diag else ""
+        ),
         f"grad ratio (z/feat)        : {diag['grad_ratio_z_over_feat']:.4g}",
         f"fcomb activation feat/z    : {diag['fcomb_activation_feat']:.4g} / "
         f"{diag['fcomb_activation_z']:.4g}",

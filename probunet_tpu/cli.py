@@ -303,6 +303,34 @@ def cmd_explore(args):
         plot_latent_grid(sweep["decoded"],
                          title=f"prior sweep dims {sweep['dims']}",
                          save_path=os.path.join(args.outdir, "prior_sweep.png"))
+        # HR-space grids (per-panel AND globally normalized) + the
+        # delta-to-center grid, as the reference's single-sample sweep
+        # emits them (reference src/latent_explore_single_prior.py:183-243)
+        from probunet_tpu.data.climex import lrinterp_from_batch
+        batch0 = ds_test.preprocess(
+            jnp.asarray(ds_test.get_hr_batch(np.array([0]))))
+        lrinterp0 = lrinterp_from_batch(batch0, cfg.data.lowres_scale,
+                                        cfg.data.interp_mode)
+        n = sweep["decoded"].shape[0]
+        dec = sweep["decoded"]
+        hr_grid = np.asarray(ds_test.residual_to_hr(
+            jnp.asarray(dec.reshape(n * n, *dec.shape[2:])), lrinterp0)
+        ).reshape(dec.shape)
+        hr_center = np.asarray(ds_test.residual_to_hr(
+            jnp.asarray(sweep["center"][None]), lrinterp0))[0]
+        plot_latent_grid(
+            hr_grid, symmetric=False, cmap="viridis",
+            title=f"prior sweep HR (global norm) dims {sweep['dims']}",
+            save_path=os.path.join(args.outdir, "prior_sweep_hr.png"))
+        plot_latent_grid(
+            hr_grid, symmetric=False, cmap="viridis", per_panel_norm=True,
+            title=f"prior sweep HR (per-panel norm) dims {sweep['dims']}",
+            save_path=os.path.join(args.outdir,
+                                   "prior_sweep_hr_perpanel.png"))
+        plot_latent_grid(
+            hr_grid - hr_center[None, None],
+            title=f"prior sweep HR delta-to-center dims {sweep['dims']}",
+            save_path=os.path.join(args.outdir, "prior_sweep_delta.png"))
         print(json.dumps({"dims": np.asarray(sweep["dims"]).tolist()}))
         return
 
@@ -311,7 +339,8 @@ def cmd_explore(args):
     pca = LatentPCA.fit(lat["mu"])
     scores = pca.transform(lat["mu"])
     diag = collapse_diagnostics(model, params, ds_test,
-                                max_items=args.max_items)
+                                max_items=args.max_items,
+                                n_contexts=args.probe_contexts)
     report = format_summary(diag)
     print(report)
     with open(os.path.join(args.outdir, "summary.txt"), "w") as f:
@@ -330,10 +359,16 @@ def cmd_explore(args):
             save_path=os.path.join(args.outdir, "latent_joint_marginal.png"),
         )
 
-    # decile + sigma grids decoded against context 0's frozen features
+    # decile + sigma grids decoded against context 0's frozen features,
+    # in residual space AND reconstructed HR space (the reference decodes
+    # every grid twice — src/latent_exploration.py:119-144 batched_decode_hr,
+    # grids emitted at :909-921)
+    from probunet_tpu.data.climex import lrinterp_from_batch
     batch = ds_test.preprocess(jnp.asarray(ds_test.get_hr_batch(np.array([0]))))
     feats, _, _ = model.apply({"params": params}, batch["inputs"],
                               method=ProbabilisticUNet.encode)
+    lrinterp0 = lrinterp_from_batch(batch, cfg.data.lowres_scale,
+                                    cfg.data.interp_mode)
     n = 10 if args.posterior else 7
     for name, grid in (("decile", pc_grid_deciles(scores, n)),
                        ("sigma", pc_grid_sigma(scores, n))):
@@ -344,6 +379,13 @@ def cmd_explore(args):
         plot_latent_grid(dec.reshape(n, n, h, w, k),
                          title=f"{name} grid (PC1 x PC2)",
                          save_path=os.path.join(args.outdir, f"grid_{name}.png"))
+        hr_dec = np.asarray(ds_test.residual_to_hr(jnp.asarray(dec),
+                                                   lrinterp0))
+        plot_latent_grid(hr_dec.reshape(n, n, h, w, k),
+                         symmetric=False, cmap="viridis",
+                         title=f"{name} grid, HR space (PC1 x PC2)",
+                         save_path=os.path.join(args.outdir,
+                                                f"grid_{name}_hr.png"))
 
 
 def _member_mesh_sampler(args, cfg, model, params, stats):
@@ -933,6 +975,9 @@ def main(argv=None):
     sp.add_argument("--posterior", action="store_true")
     sp.add_argument("--single", action="store_true")
     sp.add_argument("--max-items", type=int, default=512)
+    sp.add_argument("--probe-contexts", type=int, default=32,
+                    help="items the collapse probes 5-10 aggregate over "
+                         "(1 = single-context fast path)")
     sp.set_defaults(fn=cmd_explore)
 
     sp = sub.add_parser("evaluate", help="ensemble CRPS/MAE/PSD eval")

@@ -379,23 +379,37 @@ def plot_latent_grid(
     decoded: np.ndarray,
     channel: int = 0,
     per_panel_norm: bool = False,
+    symmetric: bool = True,
+    cmap: str = "RdBu_r",
     title: str = "latent grid",
     save_path: str | None = None,
 ):
     """(n1, n2, H, W, C) decoded latent grid -> n1 x n2 image panel
     (reference src/latent_exploration.py:893-921,
-    src/latent_explore_single_prior.py:183-193)."""
+    src/latent_explore_single_prior.py:183-243).
+
+    ``symmetric=True`` (residual/delta fields) centers the scale on zero
+    with a diverging cmap; ``symmetric=False`` (reconstructed-HR fields)
+    uses the data range with a sequential cmap. ``per_panel_norm`` scales
+    each panel to its own range instead of the shared one — the reference
+    emits the single-sample HR sweep both ways
+    (src/latent_explore_single_prior.py:183-243)."""
     d = np.asarray(decoded)[..., channel]
     n1, n2 = d.shape[:2]
     fig, axes = _subplots(n1, n2, scale=1.6)
     v = np.abs(d).max()
+    glo, ghi = d.min(), d.max()
     for i in range(n1):
         for j in range(n2):
-            if per_panel_norm:
-                vmax = max(np.abs(d[i, j]).max(), 1e-12)
+            if symmetric:
+                vmax = (max(np.abs(d[i, j]).max(), 1e-12)
+                        if per_panel_norm else v)
+                vmin = -vmax
+            elif per_panel_norm:
+                vmin, vmax = d[i, j].min(), d[i, j].max()
             else:
-                vmax = v
-            im = _imshow(axes[i, j], d[i, j], "RdBu_r", -vmax, vmax)
+                vmin, vmax = glo, ghi
+            im = _imshow(axes[i, j], d[i, j], cmap, vmin, vmax)
     fig.colorbar(im, ax=axes, shrink=0.6)
     fig.suptitle(title)
     return _save(fig, save_path)

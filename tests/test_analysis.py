@@ -98,14 +98,28 @@ def test_collect_and_decode():
 def test_collapse_diagnostics_and_summary():
     model, params, ds = make_model_and_dataset()
     diag = collapse_diagnostics(model, params, ds, batch_size=16,
-                                num_samples=4, max_items=32)
+                                num_samples=4, max_items=32, n_contexts=8)
     assert diag["latent_dim"] == 6
+    assert diag["n_contexts"] == 8
     assert diag["prior_sigma_spectrum"].shape == (6,)
     assert diag["z_sensitivity"].shape == (6,)
     assert np.isfinite(diag["sample_variance_ratio"])
+    assert diag["sample_variance_ratio_per_context"].shape == (8,)
+    assert np.all(np.isfinite(diag["sample_variance_ratio_per_context"]))
     assert np.isfinite(diag["grad_ratio_z_over_feat"])
     report = format_summary(diag)
     assert "VERDICT" in report and "latent_dim" in report
+    assert "probe contexts" in report
+
+
+def test_collapse_diagnostics_single_context_fast_path():
+    """n_contexts=1 keeps the original single-context behavior working."""
+    model, params, ds = make_model_and_dataset()
+    diag = collapse_diagnostics(model, params, ds, batch_size=16,
+                                num_samples=4, max_items=16, n_contexts=1)
+    assert diag["n_contexts"] == 1
+    assert diag["sample_variance_ratio_per_context"].shape == (1,)
+    assert np.isfinite(diag["sample_variance_ratio"])
 
 
 def test_single_prior_sweep():

@@ -71,6 +71,29 @@ def test_cli_extremes(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "extremes.json"))
 
 
+def test_cli_explore_emits_hr_grids(tmp_path, capsys):
+    """`explore` emits residual-space AND HR-space grids (the reference
+    decodes every grid twice — src/latent_exploration.py:909-921), plus the
+    single-sweep HR/per-panel/delta panels
+    (src/latent_explore_single_prior.py:183-243)."""
+    out = str(tmp_path / "exp")
+    main(["explore", "--preset", "probunet_latent6_64", "--outdir", out,
+          "--max-items", "24", "--probe-contexts", "4"] + TINY)
+    capsys.readouterr()
+    for f in ("summary.txt", "pca_artifacts.pkl",
+              "grid_decile.png", "grid_decile_hr.png",
+              "grid_sigma.png", "grid_sigma_hr.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+    out2 = str(tmp_path / "exp_single")
+    main(["explore", "--preset", "probunet_latent6_64", "--outdir", out2,
+          "--single"] + TINY)
+    capsys.readouterr()
+    for f in ("prior_sweep.png", "prior_sweep_hr.png",
+              "prior_sweep_hr_perpanel.png", "prior_sweep_delta.png"):
+        assert os.path.exists(os.path.join(out2, f)), f
+
+
 def test_cli_pack_feeds_train(tmp_path, capsys):
     """pack -> packed .npz -> train consumes it via data.packed_train."""
     pk = str(tmp_path / "train.npz")
