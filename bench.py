@@ -127,8 +127,14 @@ def main() -> None:
     # activation bytes, see scripts/hlo_traffic.py — plus mask traffic).
     if "BENCH_DROPOUT" in os.environ:
         cfg.model.dropout = float(os.environ["BENCH_DROPOUT"])
+    # BENCH_REMAT=save_convs applies the policy-remat mode: conv outputs
+    # stay saved, the elementwise GN/FiLM/SiLU/dropout chains (and their
+    # dropout masks) are recomputed in the backward pass — bytes for VPU
+    # flops on the HBM-bound step (models/unet.py `remat`).
     remat_env = os.environ.get("BENCH_REMAT", "0")
-    if "," in remat_env or remat_env not in ("0", "1"):
+    if remat_env in ("save_convs", "save_convs_all"):
+        cfg.train.remat = remat_env
+    elif "," in remat_env or remat_env not in ("0", "1"):
         cfg.train.remat_levels = tuple(
             int(v) for v in remat_env.split(",") if v.strip()
         )

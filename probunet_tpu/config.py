@@ -130,8 +130,16 @@ class TrainConfig:
     # config — dropout masks dominate the threefry cost); "threefry2x32"
     # restores the JAX default
     rng_impl: str = "rbg"
-    # memory/perf knobs
-    remat: bool = False          # jax.checkpoint the U-Net encoder/decoder
+    # memory/perf knobs.
+    # remat: False | True | "save_convs". True checkpoints every U-Net
+    # block with full recompute (admits larger batches; loses throughput —
+    # DESIGN.md batch/remat ladder). "save_convs" checkpoints every block
+    # under the save_only_these_names("conv_out") policy: convs are never
+    # recomputed, only the elementwise GN/FiLM/SiLU/dropout chains between
+    # them are replayed in the backward pass (dropout masks regenerated
+    # from identical keys instead of stored) — a pure byte reduction on
+    # the HBM-bound step. Numerics identical in all modes.
+    remat: Any = False
     # checkpoint only the blocks at these resolution levels (e.g. (0,) or
     # (0, 1)): the shallow levels hold the largest activations, so this
     # buys most of full remat's memory at a fraction of its recompute.

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from probunet_tpu.ops.distributions import DiagGaussian
 
@@ -69,7 +70,10 @@ class _Conv3x3(nn.Module):
             # primal dtype mismatch in the vjp)
             preferred_element_type=dt if dt != jnp.float32 else jnp.float32,
         )
-        return (y + b).astype(x.dtype)
+        # named for the "save_convs" remat policy (see models/layers.py):
+        # under policy remat only conv outputs are stored; the interleaved
+        # ReLUs are recomputed in the backward pass. No-op otherwise.
+        return checkpoint_name((y + b).astype(x.dtype), "conv_out")
 
 
 def _max_pool2(x):

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from probunet_tpu.ops.resample import avg_pool, upsample_nearest
 
@@ -204,7 +205,13 @@ class EDMConv(nn.Module):
                 "bias", edm_init(mode, fan_in, fan_out, b_scale), (self.features,)
             )
             y = y + b
-        return y.astype(x.dtype)
+        # Named for the "save_convs" remat policy (models/unet.py): under
+        # nn.remat(policy=save_only_these_names("conv_out")) conv outputs are
+        # the ONLY stored block residuals; the GN/FiLM/SiLU/dropout chains
+        # between convs are recomputed in the backward pass instead of being
+        # saved (a pure byte trade on an HBM-bound step — see DESIGN.md).
+        # A no-op when not under a checkpoint.
+        return checkpoint_name(y.astype(x.dtype), "conv_out")
 
 
 def _gn_impl() -> str:

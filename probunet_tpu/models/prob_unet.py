@@ -83,13 +83,26 @@ class ProbabilisticUNet(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
         )
-        self.prior = AxisAlignedConvGaussian(
+        # remat="save_convs_all" extends the save-conv-outputs checkpoint
+        # policy (models/unet.py `remat`) to the Gaussian encoders: conv
+        # outputs stay stored, the interleaved ReLU/pool chains are
+        # recomputed in the backward pass. Class-level nn.remat keeps the
+        # parameter tree identical (prior/posterior names unchanged).
+        if self.remat == "save_convs_all":
+            gauss_cls = nn.remat(
+                AxisAlignedConvGaussian,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"),
+            )
+        else:
+            gauss_cls = AxisAlignedConvGaussian
+        self.prior = gauss_cls(
             num_filters=tuple(self.num_filters),
             latent_dim=self.latent_dim,
             posterior=False,
             dtype=self.dtype,
         )
-        self.posterior = AxisAlignedConvGaussian(
+        self.posterior = gauss_cls(
             num_filters=tuple(self.num_filters),
             latent_dim=self.latent_dim,
             posterior=True,

@@ -74,7 +74,15 @@ class UNet(nn.Module):
     # sequence of level indices (e.g. (0,) or (0, 1)) checkpoints only the
     # blocks at those resolution levels — the shallow levels hold the
     # largest activations (L0 is 4x L1's bytes per tensor), so selective
-    # remat buys most of the memory at a fraction of the recompute
+    # remat buys most of the memory at a fraction of the recompute.
+    # "save_convs" checkpoints every block under the
+    # save_only_these_names("conv_out") policy: conv outputs stay stored
+    # (convs are NEVER recomputed — full-block remat loses because it
+    # replays them, DESIGN.md batch/remat ladder) while the elementwise
+    # GroupNorm/FiLM/SiLU/dropout chains between convs are recomputed in
+    # the backward pass — including the dropout masks, regenerated from
+    # the identical fold_in keys instead of stored (the step's one
+    # non-parity byte sink, 19.2 GB/step measured). Numerics identical.
     remat: Any = False
 
     @nn.compact
@@ -96,8 +104,14 @@ class UNet(nn.Module):
         # nn.remat checkpoints a block; `train` must stay static (the
         # transformed call sees (module, x, emb, train) -> index 3)
         _RematBlock = nn.remat(UNetBlock, static_argnums=(3,))
+        _SaveConvsBlock = nn.remat(
+            UNetBlock, static_argnums=(3,),
+            policy=jax.checkpoint_policies.save_only_these_names("conv_out"),
+        )
 
         def _block_cls(level: int):
+            if self.remat in ("save_convs", "save_convs_all"):
+                return _SaveConvsBlock
             if self.remat is True:
                 return _RematBlock
             if not self.remat:  # False / None / empty sequence

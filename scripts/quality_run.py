@@ -37,6 +37,13 @@ def main():
     ap.add_argument("--outdir", default="results/quality")
     ap.add_argument("--warmup-epochs", type=int, default=20)
     ap.add_argument("--max-beta1", type=float, default=1e-3)
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="0 = preset default (32, the reference's setting); "
+                         "128 = the shipped throughput-optimal batch "
+                         "(VERDICT r3 #4: measure END-TO-END flagship "
+                         "training at bs=128 against the isolated bench)")
+    ap.add_argument("--remat", default="",
+                    help='"" | save_convs | save_convs_all')
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -50,6 +57,10 @@ def main():
 
     cfg = preset("probunet_multivar_128")
     cfg.model.compute_dtype = "bfloat16"
+    if args.batch_size:
+        cfg.train.batch_size = args.batch_size
+    if args.remat:
+        cfg.train.remat = args.remat
     b = cfg.train.batch_size
     res = cfg.data.resolution
 
@@ -71,6 +82,7 @@ def main():
         channel_mult=cfg.model.channel_mult, img_resolution=res,
         num_blocks=cfg.model.num_blocks, dropout=cfg.model.dropout,
         dtype=jnp.bfloat16,
+        remat=cfg.train.remat,
     )
     x = jnp.zeros((b, res[0], res[1], 3), jnp.float32)
     state = create_train_state(model, x, x, seed=cfg.train.seed,
@@ -127,10 +139,17 @@ def main():
             "samples_per_sec": round(steps_per_epoch * b / dt, 1),
         }), flush=True)
 
+    total_wall = time.time() - t_all
     out = {
-        "config": "probunet_multivar_128 + bf16",
+        "config": f"probunet_multivar_128 + bf16, bs={b}"
+                  + (f", remat={cfg.train.remat}" if cfg.train.remat else ""),
         "epochs": args.epochs,
-        "total_minutes": round((time.time() - t_all) / 60, 2),
+        "total_minutes": round(total_wall / 60, 2),
+        # END-TO-END rate: train samples / total wall INCLUDING per-epoch
+        # eval, host metric pulls, and logging — the number VERDICT r3 #4
+        # asks to compare against the isolated bench step rate
+        "end_to_end_samples_per_sec": round(
+            args.epochs * steps_per_epoch * b / total_wall, 1),
         "history": history,
         "first_last_train_recon": [history["train_recon"][0],
                                    history["train_recon"][-1]],
