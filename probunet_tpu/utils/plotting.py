@@ -53,13 +53,22 @@ def _subplots(nrows, ncols, scale=2.4):
     return fig, axes
 
 
-def _imshow(ax, field, cmap, vmin=None, vmax=None, lat=None, lon=None):
+def _imshow(ax, field, cmap, vmin=None, vmax=None, lat=None, lon=None,
+            labels=None):
     """One map panel. With ``lat``/``lon`` (2-D geographic coordinate arrays
     from the NetCDF ingest, data/climex.py:430-431) the field is drawn
     geo-referenced via ``pcolormesh(lon, lat, ...)`` — with
     ``transform=PlateCarree()`` onto the RotatedPole axes when cartopy is
     present (the reference's pattern, src/climex_utils.py:354-363) and on
-    plain axes otherwise. Falls back to index-space imshow without coords."""
+    plain axes otherwise. Falls back to index-space imshow without coords.
+
+    ``labels`` requests the reference's map furniture — dashed lat/lon
+    gridlines with degree labels, top/right always off (reference
+    src/climex_utils.py:345-352: ``gridlines(draw_labels=True,
+    linestyle="--")``, ``gl.top_labels = gl.right_labels = False``, left
+    labels on the first column only): ``"left"`` = left+bottom labels,
+    ``"bottom"`` = bottom only, ``None`` = tickless panel (latent grids,
+    non-geo figures). Only drawn on geo-referenced panels."""
     field = np.asarray(field)
     coords = None
     if lat is not None and lon is not None:
@@ -81,11 +90,57 @@ def _imshow(ax, field, cmap, vmin=None, vmax=None, lat=None, lon=None):
                            **kw)
         if HAVE_CARTOPY:
             ax.coastlines(linewidth=0.4)
+        if labels is not None:
+            _gridline_furniture(ax, lat, lon, labels)
+            return im
     else:
         im = ax.imshow(field, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
     ax.set_xticks([])
     ax.set_yticks([])
     return im
+
+
+def _gridline_furniture(ax, lat, lon, labels):
+    """Dashed labeled lat/lon gridlines (reference src/climex_utils.py:
+    345-352). Cartopy axes get ``gridlines(crs=PlateCarree,
+    draw_labels=True, linestyle="--")`` with top/right labels off and left
+    labels only when ``labels == "left"``; the no-cartopy fallback draws the
+    same furniture with real degree ticks on the plain axes (whose data
+    coordinates ARE lon/lat there)."""
+    if HAVE_CARTOPY:
+        gl = ax.gridlines(crs=ccrs.PlateCarree(), draw_labels=True,
+                          x_inline=False, y_inline=False,
+                          linestyle="--", linewidth=0.3)
+        gl.top_labels = False
+        gl.right_labels = False
+        gl.left_labels = labels == "left"
+        gl.xlabel_style = {"size": 6}
+        gl.ylabel_style = {"size": 6}
+        return
+    ax.grid(linestyle="--", linewidth=0.3)
+    xt = np.linspace(lon.min(), lon.max(), 5)[1:-1]
+    ax.set_xticks(xt)
+    ax.set_xticklabels([f"{v:.1f}°" for v in xt], fontsize=6)
+    if labels == "left":
+        yt = np.linspace(lat.min(), lat.max(), 5)[1:-1]
+        ax.set_yticks(yt)
+        ax.set_yticklabels([f"{v:.1f}°" for v in yt], fontsize=6)
+    else:
+        ax.set_yticks([])
+
+
+def _coords_at(lat, lon, i):
+    """Per-sample coordinate slices: the reference selects lat/lon at each
+    sample's timestamp (src/climex_utils.py:317) — (B, H, W) coord stacks
+    index per item; static (H, W)/1-D coords pass through unchanged."""
+    if lat is None or lon is None:
+        return lat, lon
+    lat, lon = np.asarray(lat), np.asarray(lon)
+    if lat.ndim == 3:
+        lat = lat[min(i, lat.shape[0] - 1)]
+    if lon.ndim == 3:
+        lon = lon[min(i, lon.shape[0] - 1)]
+    return lat, lon
 
 
 def _coarsen_coords(lat, lon, field_shape):
@@ -135,11 +190,16 @@ def plot_batch(
         vmax = max(hr[:b, ..., ci].max(), pred[:b, ..., ci].max())
         cmap = _CMAPS.get(var, "viridis")
         for i in range(b):
-            _imshow(axes[0, i], lr[i, ..., ci], cmap, vmin, vmax, lat, lon)
-            _imshow(axes[1, i], pred[i, ..., ci], cmap, vmin, vmax, lat, lon)
-            im = _imshow(axes[2, i], hr[i, ..., ci], cmap, vmin, vmax, lat, lon)
+            la, lo = _coords_at(lat, lon, i)
+            lab = "left" if i == 0 else "bottom"
+            _imshow(axes[0, i], lr[i, ..., ci], cmap, vmin, vmax, la, lo, lab)
+            _imshow(axes[1, i], pred[i, ..., ci], cmap, vmin, vmax, la, lo,
+                    lab)
+            im = _imshow(axes[2, i], hr[i, ..., ci], cmap, vmin, vmax, la, lo,
+                         lab)
             err = np.abs(pred[i, ..., ci] - hr[i, ..., ci])
-            im_e = _imshow(axes[3, i], err, "Reds", lat=lat, lon=lon)
+            im_e = _imshow(axes[3, i], err, "Reds", lat=la, lon=lo,
+                           labels=lab)
             if timestamps is not None:
                 axes[0, i].set_title(str(timestamps[i]), fontsize=7)
         for row, lab in enumerate(["LR", "pred", "HR", "|err|"]):
@@ -172,19 +232,21 @@ def plot_sample_batch(
         for i in range(b):
             vmin = min(hr[i, ..., ci].min(), samples[i, ..., ci].min())
             vmax = max(hr[i, ..., ci].max(), samples[i, ..., ci].max())
+            la, lo = _coords_at(lat, lon, i)
             col = 0
             if lrinterp is not None:
                 _imshow(axes[i, col], np.asarray(lrinterp)[i, ..., ci],
-                        cmap, vmin, vmax, lat, lon)
+                        cmap, vmin, vmax, la, lo, "left")
                 if i == 0:
                     axes[i, col].set_title("lrinterp", fontsize=8)
                 col += 1
-            _imshow(axes[i, col], hr[i, ..., ci], cmap, vmin, vmax, lat, lon)
+            _imshow(axes[i, col], hr[i, ..., ci], cmap, vmin, vmax, la, lo,
+                    "left" if col == 0 else "bottom")
             if i == 0:
                 axes[i, col].set_title("HR", fontsize=8)
             for j in range(m):
                 im = _imshow(axes[i, col + 1 + j], samples[i, j, ..., ci],
-                             cmap, vmin, vmax, lat, lon)
+                             cmap, vmin, vmax, la, lo, "bottom")
                 if i == 0:
                     axes[i, col + 1 + j].set_title(f"member {j + 1}", fontsize=8)
         fig.colorbar(im, ax=axes, shrink=0.6,
@@ -212,12 +274,14 @@ def plot_residual_sample_batch(
         fig, axes = _subplots(b, m + 1)
         for i in range(b):
             v = max(np.abs(t[i, ..., ci]).max(), np.abs(s[i, ..., ci]).max())
-            _imshow(axes[i, 0], t[i, ..., ci], "RdBu_r", -v, v, lat, lon)
+            la, lo = _coords_at(lat, lon, i)
+            _imshow(axes[i, 0], t[i, ..., ci], "RdBu_r", -v, v, la, lo,
+                    "left")
             if i == 0:
                 axes[i, 0].set_title("target residual", fontsize=8)
             for j in range(m):
                 im = _imshow(axes[i, 1 + j], s[i, j, ..., ci], "RdBu_r", -v, v,
-                             lat, lon)
+                             la, lo, "bottom")
                 if i == 0:
                     axes[i, 1 + j].set_title(f"member {j + 1}", fontsize=8)
         fig.colorbar(im, ax=axes, shrink=0.6)
@@ -243,10 +307,11 @@ def plot_residual_differences(
         fig, axes = _subplots(m, m, scale=1.8)
         diffs = s[:, None, ..., ci] - s[None, :, ..., ci]
         v = max(np.abs(diffs).max(), 1e-12)
+        la, lo = _coords_at(lat, lon, item)
         for i in range(m):
             for j in range(m):
                 im = _imshow(axes[i, j], diffs[i, j], "RdBu_r", -v, v,
-                             lat, lon)
+                             la, lo, "left" if j == 0 else "bottom")
         fig.colorbar(im, ax=axes, shrink=0.6)
         fig.suptitle(f"{var} — pairwise member differences")
         figs[var] = _save(fig, save_path and save_path.replace(".png", f"_{var}.png"))
