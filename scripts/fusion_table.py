@@ -62,10 +62,9 @@ def shape_bytes(shape: str) -> int:
 def classify(op_name: str) -> str:
     """Map a metadata op_name path to a component group."""
     s = op_name
-    if "transpose(" in s or "/jvp(" in s:
-        direction = "bwd"
-    else:
-        direction = "fwd"
+    # Under jax.grad the forward trace is tagged jvp(...) and the backward
+    # transpose(jvp(...)): only the latter is the backward pass.
+    direction = "bwd" if "transpose(" in s else "fwd"
     if "unet" in s:
         if "/dec_" in s:
             comp = "unet-decoder"
@@ -102,8 +101,8 @@ def main():
     cfg = preset("probunet_multivar_128")
     cfg.train.batch_size = bs
     cfg.model.compute_dtype = "bfloat16"
-    if remat == "save_convs":
-        cfg.train.remat = "save_convs"
+    if remat in ("save_convs", "save_convs_all"):
+        cfg.train.remat = remat
     elif remat == "1":
         cfg.train.remat = True
 
@@ -142,7 +141,7 @@ def main():
 
     # ---- first pass: name -> output bytes for every entry instruction ----
     defn = re.compile(
-        r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=\s*((?:\([^)]*\)|\S+?))\s+(\w+)\(")
+        r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=\s*((?:\([^)]*\)|\S+?))\s+([\w-]+)\(")
     out_bytes: dict[str, int] = {}
     rows = []
     for ln in entry_lines:
@@ -152,19 +151,22 @@ def main():
         name, shape, op = m.groups()
         b = shape_bytes(shape)
         out_bytes[name] = b
-        rows.append((name, shape, op, ln))
+        rows.append((name, shape, op, ln, m.end()))
+
+    # Ops that move no HBM bytes: views/metadata (HloCostAnalysis charges
+    # bitcast/tuple/get-tuple-element/parameter zero bytes).
+    free_ops = {"parameter", "constant", "iota", "bitcast", "tuple",
+                "get-tuple-element", "after-all"}
 
     # ---- second pass: operand bytes + attribution ----
-    param_like = {"parameter", "constant", "iota"}
     items = []
-    for name, shape, op, ln in rows:
-        if op in param_like:
+    for name, shape, op, ln, opers_at in rows:
+        if op in free_ops:
             continue
-        # operand names: %foo refs inside the (...) argument list
-        paren = ln[ln.index("("):] if "(" in ln else ""
-        # cut metadata/backend_config tails so we only see the operand list
-        paren = paren.split("metadata=")[0]
-        operands = re.findall(r"%([\w.-]+)", paren)
+        # operand list: from just after "op(" (defn match end) to the first
+        # ")" — names only there (modern HLO text has no % sigils)
+        oplist = ln[opers_at:].split(")")[0]
+        operands = re.findall(r"%?([\w.-]+)", oplist)
         rd = sum(out_bytes.get(o, 0) for o in operands)
         wr = out_bytes.get(name, 0)
         mm = re.search(r'op_name="([^"]*)"', ln)
