@@ -77,13 +77,37 @@ class _Conv3x3(nn.Module):
 
 
 def _max_pool2(x):
-    return lax.reduce_window(
-        x,
-        -jnp.inf,
-        lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
+    """2x2 stride-2 VALID max pool (reference src/prob_unet.py:33
+    ``nn.MaxPool2d(2)``).
+
+    Default impl ("reshape"): the windows are disjoint, so the pool is an
+    exact reshape + elementwise max whose VJP is a fusable select chain.
+    ``lax.reduce_window(max)``'s VJP lowers to ``select-and-scatter``, an
+    op XLA cannot fuse (per-fusion HBM table: 1.06 GB/step + two of the
+    slowest instructions, both in the prior/posterior backward). Forward
+    values are bit-identical; gradients differ only on exact ties inside
+    a window (balanced split vs first-match) — here the inputs are
+    post-ReLU conv outputs whose ties sit on the zero plateau where the
+    upstream relu' zeroes the gradient anyway.
+    ``PROBUNET_MAXPOOL_IMPL=reduce_window`` restores the windowed op
+    (trace-time capture, like PROBUNET_CRPS_IMPL)."""
+    import os
+
+    if os.environ.get("PROBUNET_MAXPOOL_IMPL", "reshape") == "reduce_window":
+        return lax.reduce_window(
+            x,
+            -jnp.inf,
+            lax.max,
+            window_dimensions=(1, 2, 2, 1),
+            window_strides=(1, 2, 2, 1),
+            padding="VALID",
+        )
+    b, h, w, c = x.shape
+    x = x[:, : h - h % 2, : w - w % 2, :]  # VALID: drop odd trailing row/col
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.maximum(
+        jnp.maximum(x[:, :, 0, :, 0], x[:, :, 0, :, 1]),
+        jnp.maximum(x[:, :, 1, :, 0], x[:, :, 1, :, 1]),
     )
 
 

@@ -72,7 +72,19 @@ def _dropout(rng, y, drop_p: float):
             return pl_dropout.dropout(y, seed2, float(drop_p))
 
     c = y.shape[-1]
-    if c % 2 == 0 and os.environ.get("PROBUNET_DROPOUT_BITS", "32") == "16":
+    bits_mode = os.environ.get("PROBUNET_DROPOUT_BITS", "32")
+    if bits_mode == "u32":
+        # Compare the raw u32 bits directly — same element count/width as
+        # bernoulli's draw but no u32->f32 _uniform conversion, whose output
+        # the scheduler layout-copies at full activation shape (fusion
+        # table: 7x ~537 MB `copy ... jit(_bernoulli)/jit(_uniform)` +
+        # 3.6 GB rng-bit-generator). keep ~ Bernoulli(1-p) exactly: bits is
+        # uniform on [0, 2^32), so P(bits >= round(p*2^32)) = 1-p up to
+        # 2^-32 quantization (clamped like the u16 path below).
+        raw = jax.random.bits(rng, y.shape, jnp.uint32)
+        thresh = min(max(round(drop_p * 4294967296.0), 1), 4294967295)
+        keep = raw >= jnp.uint32(thresh)
+    elif c % 2 == 0 and bits_mode == "16":
         raw = jax.random.bits(rng, y.shape[:-1] + (c // 2,), jnp.uint32)
         bits = lax.bitcast_convert_type(raw, jnp.uint16).reshape(y.shape)
         # Clamp to [1, 65535]: round(p*65536) is 0 for p < ~7.6e-6 (dropout

@@ -215,6 +215,71 @@ class TestProbUNetParity:
         assert (np.asarray(dist.sigma) > 0).all()
 
 
+class TestMaxPoolImpl:
+    """The default reshape+max pool must equal lax.reduce_window(max) —
+    bit-exact forward always, identical VJP away from in-window ties
+    (models/gaussian.py::_max_pool2; the reduce_window VJP's
+    select-and-scatter is the op being eliminated)."""
+
+    def _both(self, fn, x):
+        import os
+
+        from probunet_tpu.models import gaussian
+
+        ours = fn(gaussian._max_pool2, x)
+        os.environ["PROBUNET_MAXPOOL_IMPL"] = "reduce_window"
+        try:
+            ref = fn(gaussian._max_pool2, x)
+        finally:
+            del os.environ["PROBUNET_MAXPOOL_IMPL"]
+        return ours, ref
+
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (2, 9, 7, 3), (1, 2, 2, 1)])
+    def test_forward_bit_exact(self, shape):
+        x = jax.random.normal(jax.random.key(0), shape)
+        ours, ref = self._both(lambda p, x: p(x), x)
+        assert ours.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+    def test_vjp_matches_off_ties(self):
+        # a permutation of distinct values has no in-window ties, so the
+        # balanced-eq max grad equals select-and-scatter's first-match grad
+        x = jax.random.permutation(
+            jax.random.key(1), jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32)
+        ).reshape(2, 8, 8, 3)
+        g_ours, g_ref = self._both(
+            lambda p, x: jax.grad(lambda v: (p(v) ** 2).sum())(x), x)
+        np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                                   rtol=1e-6)
+
+
+def test_dropout_u32_raw_bits_mode():
+    """PROBUNET_DROPOUT_BITS=u32 (models/layers.py::_dropout): compares the
+    raw u32 draw against round(p*2^32) — keep rate must match Bernoulli(1-p)
+    and gradients must flow through kept elements only."""
+    import os
+
+    from probunet_tpu.models import layers
+
+    os.environ["PROBUNET_DROPOUT_BITS"] = "u32"
+    try:
+        key = jax.random.key(0)
+        y = jnp.ones((4, 32, 32, 8), jnp.float32)
+        out = np.asarray(layers._dropout(key, y, 0.25))
+        keep = out != 0
+        assert abs(keep.mean() - 0.75) < 0.02
+        np.testing.assert_allclose(out[keep], 1.0 / 0.75, rtol=1e-6)
+        g = np.asarray(jax.grad(
+            lambda v: layers._dropout(key, v, 0.25).sum())(y))
+        np.testing.assert_allclose(g[keep], 1.0 / 0.75, rtol=1e-6)
+        np.testing.assert_array_equal(g[~keep], 0.0)
+        # degenerate rates stay clamped, not silently inverted
+        all_dropped = np.asarray(layers._dropout(key, y, 1.0 - 1e-12))
+        assert (all_dropped == 0).mean() > 0.999
+    finally:
+        del os.environ["PROBUNET_DROPOUT_BITS"]
+
+
 class TestProbUNetForward:
     def _small(self):
         return ProbabilisticUNet(
