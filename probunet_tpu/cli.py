@@ -52,13 +52,20 @@ def build_config(args) -> Config:
     return cfg.override(_parse_overrides(args.set))
 
 
-def make_datasets(cfg: Config):
+def make_datasets(cfg: Config, splits=(0, 1, 2)):
+    """Build the requested dataset splits; unrequested entries are None.
+
+    Eager three-way construction cost the full-scale `evaluate` run a
+    31 GB host-RSS peak building the 60-year train split it never read
+    (r4 queue phase 3) — commands that touch only one split must say so."""
     from probunet_tpu.data.climex import ClimexDataset
 
     packed = (cfg.data.packed_train, cfg.data.packed_val,
               cfg.data.packed_test)
 
     def mk(years, split_idx):
+        if split_idx not in splits:
+            return None
         return ClimexDataset(
             datadir=cfg.data.datadir or None,
             years=range(*years),
@@ -120,7 +127,7 @@ def cmd_train(args):
     with open(os.path.join(args.outdir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    ds_train, ds_val, _ = make_datasets(cfg)
+    ds_train, ds_val, _ = make_datasets(cfg, splits=(0, 1))
     model = make_model(cfg)
     logger = MetricLogger(logdir=args.outdir, use_wandb=args.wandb)
     ckpt = CheckpointManager(os.path.join(os.path.abspath(args.outdir), "ckpt"))
@@ -286,7 +293,7 @@ def cmd_explore(args):
 
     cfg = build_config(args)
     os.makedirs(args.outdir, exist_ok=True)
-    _, _, ds_test = make_datasets(cfg)
+    _, _, ds_test = make_datasets(cfg, splits=(2,))
     model = make_model(cfg)
 
     res = cfg.data.resolution
@@ -445,7 +452,7 @@ def cmd_evaluate(args):
     from probunet_tpu.train.checkpoint import CheckpointManager
 
     cfg = build_config(args)
-    _, _, ds_test = make_datasets(cfg)
+    _, _, ds_test = make_datasets(cfg, splits=(2,))
     model = make_model(cfg)
     res = cfg.data.resolution
     x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
@@ -727,7 +734,7 @@ def cmd_extremes(args):
 
     cfg = build_config(args)
     os.makedirs(args.outdir, exist_ok=True)
-    _, _, ds_test = make_datasets(cfg)
+    _, _, ds_test = make_datasets(cfg, splits=(2,))
     model = make_model(cfg)
     res = cfg.data.resolution
     x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
