@@ -80,20 +80,20 @@ def _max_pool2(x):
     """2x2 stride-2 VALID max pool (reference src/prob_unet.py:33
     ``nn.MaxPool2d(2)``).
 
-    Default impl ("reshape"): the windows are disjoint, so the pool is an
-    exact reshape + elementwise max whose VJP is a fusable select chain.
-    ``lax.reduce_window(max)``'s VJP lowers to ``select-and-scatter``, an
-    op XLA cannot fuse (per-fusion HBM table: 1.06 GB/step + two of the
-    slowest instructions, both in the prior/posterior backward). Forward
-    values are bit-identical; gradients differ only on exact ties inside
-    a window (balanced split vs first-match) — here the inputs are
-    post-ReLU conv outputs whose ties sit on the zero plateau where the
-    upstream relu' zeroes the gradient anyway.
-    ``PROBUNET_MAXPOOL_IMPL=reduce_window`` restores the windowed op
-    (trace-time capture, like PROBUNET_CRPS_IMPL)."""
+    The windows are disjoint, so the pool could be an exact reshape +
+    elementwise max whose VJP is a fusable select chain instead of
+    ``reduce_window``'s unfusable ``select-and-scatter`` (per-fusion HBM
+    table: 1.06 GB/step, both in the prior/posterior backward). That
+    variant is kept as ``PROBUNET_MAXPOOL_IMPL=reshape`` but RETIRED as a
+    default on measurement (r4 queue 2): 631.9 samples/s / 126.1 GB/step
+    vs reduce_window's 637.9 / 122.4 — the strided window slices
+    materialize +3.7 GB of layout copies, more than select-and-scatter
+    costs. Forward values are bit-identical either way; gradients differ
+    only on in-window ties (balanced split vs first-match), which sit on
+    the post-ReLU zero plateau where relu' zeroes them anyway."""
     import os
 
-    if os.environ.get("PROBUNET_MAXPOOL_IMPL", "reshape") == "reduce_window":
+    if os.environ.get("PROBUNET_MAXPOOL_IMPL", "reduce_window") == "reduce_window":
         return lax.reduce_window(
             x,
             -jnp.inf,

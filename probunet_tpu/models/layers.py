@@ -81,6 +81,12 @@ def _dropout(rng, y, drop_p: float):
         # 3.6 GB rng-bit-generator). keep ~ Bernoulli(1-p) exactly: bits is
         # uniform on [0, 2^32), so P(bits >= round(p*2^32)) = 1-p up to
         # 2^-32 quantization (clamped like the u16 path below).
+        # RETIRED as a default on measurement (r4 queue 2): 630.2
+        # samples/s / 126.1 GB/step vs bernoulli's 639.3 / 122.4 — the
+        # integer-compare plumbing costs +3.7 GB of layout traffic, the
+        # same failure mode as the u16 and Pallas variants. The _uniform
+        # copies the fusion table itemizes are already the cheapest
+        # scheduling XLA found for this chain.
         raw = jax.random.bits(rng, y.shape, jnp.uint32)
         thresh = min(max(round(drop_p * 4294967296.0), 1), 4294967295)
         keep = raw >= jnp.uint32(thresh)
