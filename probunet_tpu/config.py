@@ -124,6 +124,13 @@ class TrainConfig:
     # (src/trainmodel.py:180-181) — the active path updates every batch,
     # so the behavior-matching default here is 1.
     accum: int = 1
+    # global-norm gradient clip; 0 = off (the reference clips nothing).
+    # Our extension for the throughput-optimal bs=128: the β₁ activation
+    # after KL-unconstrained warm-up injects a one-step shock
+    # (β₁·KL ~ 1e4) that NaN'd the bs=128 convergence run where bs=32
+    # survived it (results/quality_bs128, r4 queue 3); clip=1.0 bounds
+    # that single step without touching converged dynamics.
+    grad_clip: float = 0.0
     seed: int = 42
     # PRNG implementation for the training rng stream: "rbg" uses the TPU
     # hardware RNG path (measured -39 ms/step vs threefry at the flagship

@@ -295,6 +295,7 @@ class Trainer:
             seed=cfg.train.seed,
             lr=cfg.train.lr,
             weight_decay=cfg.train.weight_decay,
+            grad_clip=cfg.train.grad_clip,
             accum=cfg.train.accum,
             rng_impl=cfg.train.rng_impl,
         )

