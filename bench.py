@@ -195,11 +195,11 @@ def main() -> None:
         )
 
         @jit
-        def gen(params, hr_batch, key):
+        def gen(variables, hr_batch, key):
             batch = preprocess_batch(hr_batch, stats, cfg.data.pipeline,
                                      cfg.data.lowres_scale,
                                      cfg.data.interp_mode, cfg.data.epsilon)
-            out = model.apply({"params": params}, batch["inputs"],
+            out = model.apply(variables, batch["inputs"],
                               num_samples=m_members,
                               method=ProbabilisticUNet.sample,
                               rngs={"latent": key})
@@ -208,6 +208,37 @@ def main() -> None:
             return residual_to_hr(out, lrinterp[:, None], stats,
                                   cfg.data.pipeline, cfg.data.epsilon)
 
+        # BENCH_QUANT=int8: serve the prior-ensemble path with int8 convs
+        # (ops/quantize.py). Calibration sows per-conv input absmax over 4
+        # of the 8 bench batches; the scales then ride the "quant" variable
+        # collection into every EDMConv/_Conv3x3.
+        variables = {"params": state.params}
+        if os.environ.get("BENCH_QUANT") == "int8":
+            from probunet_tpu.ops.quantize import (
+                merge_stats, quant_scales_from_stats,
+            )
+
+            @jit
+            def calib(params, hr_batch, key):
+                batch = preprocess_batch(hr_batch, stats, cfg.data.pipeline,
+                                         cfg.data.lowres_scale,
+                                         cfg.data.interp_mode,
+                                         cfg.data.epsilon)
+                _, vs = model.apply({"params": params}, batch["inputs"],
+                                    num_samples=m_members,
+                                    method=ProbabilisticUNet.sample,
+                                    rngs={"latent": key},
+                                    mutable=["quant_stats"])
+                return vs["quant_stats"]
+
+            key0 = jax.random.key(99)
+            qstats = calib(state.params, batches[0], key0)
+            for i in range(1, 4):
+                qstats = merge_stats(qstats, calib(
+                    state.params, batches[i], jax.random.fold_in(key0, i)))
+            variables = {"params": state.params,
+                         "quant": quant_scales_from_stats(qstats)}
+
         # one jitted lax.scan chains all generations: the measured window
         # contains ZERO per-step host dispatches (each axon RPC costs ~ms of
         # host time, which at 40 ms/step materially understates the device)
@@ -215,10 +246,10 @@ def main() -> None:
         key = jax.random.key(0)
 
         @jit
-        def gen_epoch(params, hrs, key):
+        def gen_epoch(variables, hrs, key):
             def body(carry, inp):
                 hr_b, i = inp
-                out = gen(params, hr_b, jax.random.fold_in(key, i))
+                out = gen(variables, hr_b, jax.random.fold_in(key, i))
                 # FULL reduction: a single-element checksum would let XLA
                 # slice-push/DCE the other members' decode out of the
                 # measured window (code-review r3 finding); the sum makes
@@ -232,16 +263,17 @@ def main() -> None:
             return acc
 
         n_reps = 1 if on_cpu else 8
-        acc = gen_epoch(state.params, stacked, key)
+        acc = gen_epoch(variables, stacked, key)
         _sync(acc)
         t0 = time.perf_counter()
         for i in range(n_reps):
-            acc = gen_epoch(state.params, stacked, jax.random.fold_in(key, i))
+            acc = gen_epoch(variables, stacked, jax.random.fold_in(key, i))
         _sync(acc)
         dt = time.perf_counter() - t0
         member_fields_per_sec = n_reps * nb * b * m_members / dt
+        suffix = "_int8" if "quant" in variables else ""
         result = {
-            "metric": "ensemble16_member_fields_per_sec_128x128",
+            "metric": f"ensemble16_member_fields_per_sec_128x128{suffix}",
             "value": round(member_fields_per_sec, 2),
             "unit": "member-fields/s",
             "vs_baseline": round(member_fields_per_sec / BASELINE_ENSEMBLE, 3),
@@ -250,7 +282,7 @@ def main() -> None:
         # epoch would count the loop body ONCE — XLA's cost analysis does
         # not multiply while-loop bodies by trip count)
         flops = _flops_per_step(
-            gen.lower(state.params, batches[0], key).compile())
+            gen.lower(variables, batches[0], key).compile())
         if flops is not None:
             result["flops_per_batch"] = flops
             result["mfu_vs_v5e_bf16_peak"] = round(

@@ -58,6 +58,14 @@ class _Conv3x3(nn.Module):
         b = self.param("bias", trunc_normal_bias_init(), (self.features,))
         dt = self.dtype or x.dtype
         pad = k // 2
+        # int8 serving path — same hooks as models/layers.py EDMConv
+        from probunet_tpu.ops import quantize as _qz
+
+        _qz.sow_absmax(self, x)
+        if self.has_variable("quant", "in_scale"):
+            y = _qz.int8_conv(x, w, self.get_variable("quant", "in_scale"),
+                              pad)
+            return checkpoint_name((y + b).astype(x.dtype), "conv_out")
         y = lax.conv_general_dilated(
             x.astype(dt),
             w.astype(dt),

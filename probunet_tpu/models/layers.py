@@ -199,6 +199,30 @@ class EDMConv(nn.Module):
         dt = self.dtype or x.dtype
         pad = k // 2
 
+        # int8 serving path (ops/quantize.py): calibration sows input
+        # absmax into "quant_stats"; serving with a "quant" collection of
+        # per-conv input scales runs the conv int8 x int8 -> int32 on the
+        # MXU's 2x int8 path. No effect when neither collection is present.
+        from probunet_tpu.ops import quantize as _qz
+
+        _qz.sow_absmax(self, x)
+        if x2 is not None:
+            _qz.sow_absmax(self, x2, "absmax2")
+        if self.has_variable("quant", "in_scale"):
+            c1 = x.shape[-1]
+            y = _qz.int8_conv(x, w[:, :, :c1, :],
+                              self.get_variable("quant", "in_scale"), pad)
+            if x2 is not None:
+                y = y + _qz.int8_conv(x2, w[:, :, c1:, :],
+                                      self.get_variable("quant", "in_scale2"),
+                                      pad)
+            if self.use_bias:
+                b = self.param(
+                    "bias", edm_init(mode, fan_in, fan_out, b_scale),
+                    (self.features,))
+                y = y + b
+            return checkpoint_name(y.astype(x.dtype), "conv_out")
+
         def conv(inp, kern):
             return lax.conv_general_dilated(
                 inp.astype(dt),

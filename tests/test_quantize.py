@@ -1,0 +1,156 @@
+"""int8 post-training quantization (ops/quantize.py).
+
+Validates the quantized conv against its float oracle, the calibration
+sow/merge protocol, and the end-to-end calibrate -> serve flow on a tiny
+ProbabilisticUNet. The reference has no quantization (torch fp32 end to
+end); this is a framework extension, so the oracle is our own float path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probunet_tpu.models.prob_unet import ProbabilisticUNet
+from probunet_tpu.ops.quantize import (
+    int8_conv,
+    merge_stats,
+    quant_scales_from_stats,
+    quantize_int8,
+    sow_absmax,
+    weight_scales,
+)
+
+
+class TestPrimitives:
+    def test_quantize_roundtrip_error_bound(self):
+        x = jax.random.normal(jax.random.key(0), (64, 64)) * 3.0
+        scale = jnp.max(jnp.abs(x)) / 127.0
+        q = quantize_int8(x, scale)
+        assert q.dtype == jnp.int8
+        # symmetric scheme never emits -128
+        assert int(q.min()) >= -127
+        err = np.abs(np.asarray(q, np.float32) * float(scale) - np.asarray(x))
+        assert err.max() <= float(scale) / 2 + 1e-6
+
+    def test_weight_scales_per_channel(self):
+        w = jnp.stack(
+            [jnp.full((3, 3, 4), 0.5), jnp.full((3, 3, 4), 2.0)], axis=-1
+        )
+        s = weight_scales(w)
+        np.testing.assert_allclose(
+            np.asarray(s), [0.5 / 127.0, 2.0 / 127.0], rtol=1e-6
+        )
+
+    def test_int8_conv_matches_float_oracle(self):
+        kx, kw = jax.random.split(jax.random.key(1))
+        x = jax.random.normal(kx, (2, 16, 16, 8))
+        w = jax.random.normal(kw, (3, 3, 8, 16)) * 0.1
+        in_scale = jnp.max(jnp.abs(x)) / 127.0
+        y_q = int8_conv(x, w, in_scale, pad=1)
+        y_f = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
+        assert rel < 0.02, rel
+
+    def test_int8_conv_exact_on_grid_values(self):
+        # inputs/weights already on the int8 grid, with each output
+        # channel's absmax pinned to exactly 127 so the per-channel weight
+        # scale is exactly 1.0 -> zero quantization error end to end
+        x = jnp.round(
+            jax.random.normal(jax.random.key(2), (1, 8, 8, 4)) * 20
+        ).clip(-127, 127)
+        w = jnp.round(
+            jax.random.normal(jax.random.key(3), (3, 3, 4, 4)) * 20
+        ).clip(-127, 127)
+        w = w.at[0, 0, 0, :].set(127.0)
+        y_q = int8_conv(x, w, jnp.float32(1.0), pad=1)
+        y_f = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_f), rtol=1e-5)
+
+    def test_merge_stats_elementwise_max(self):
+        a = {"m": {"absmax": jnp.float32(1.0)}}
+        b = {"m": {"absmax": jnp.float32(3.0)}}
+        out = merge_stats(a, b)
+        assert float(out["m"]["absmax"]) == 3.0
+
+    def test_scales_from_stats_renames_and_divides(self):
+        stats = {"conv": {"absmax": jnp.float32(127.0),
+                          "absmax2": jnp.float32(254.0)}}
+        scales = quant_scales_from_stats(stats)
+        assert float(scales["conv"]["in_scale"]) == 1.0
+        assert float(scales["conv"]["in_scale2"]) == 2.0
+
+
+def _tiny_model():
+    return ProbabilisticUNet(
+        input_channels=2, num_classes=2, latent_dim=4,
+        num_filters=(8, 16), model_channels=16, channel_mult=(1, 2),
+        img_resolution=(32, 32), num_blocks=1,
+    )
+
+
+class TestEndToEnd:
+    def test_calibrate_then_serve(self):
+        m = _tiny_model()
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)},
+            x, num_samples=2, method=ProbabilisticUNet.sample)
+        params = variables["params"]
+
+        out_f, vs = m.apply({"params": params}, x, num_samples=2,
+                            method=ProbabilisticUNet.sample,
+                            rngs={"latent": jax.random.key(3)},
+                            mutable=["quant_stats"])
+        qs = merge_stats(vs["quant_stats"], vs["quant_stats"])
+        scales = quant_scales_from_stats(qs)
+        # every conv in the sample path found a scale
+        assert len(jax.tree.leaves(scales)) >= 30
+
+        out_q = m.apply({"params": params, "quant": scales}, x,
+                        num_samples=2, method=ProbabilisticUNet.sample,
+                        rngs={"latent": jax.random.key(3)})
+        assert out_q.shape == out_f.shape
+        rel = float(jnp.linalg.norm(out_q - out_f) / jnp.linalg.norm(out_f))
+        assert rel < 0.06, rel
+
+    def test_float_path_untouched_without_collections(self):
+        # hooks must be dead code when neither collection is supplied:
+        # identical bits vs a checkout without the hooks is impractical to
+        # assert here, but determinism + no "quant_stats" output is checkable
+        m = _tiny_model()
+        x = jax.random.normal(jax.random.key(0), (1, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)},
+            x, num_samples=1, method=ProbabilisticUNet.sample)
+        assert set(variables) == {"params"}  # no stray collections from init
+        a = m.apply(variables, x, num_samples=1,
+                    method=ProbabilisticUNet.sample,
+                    rngs={"latent": jax.random.key(4)})
+        b = m.apply(variables, x, num_samples=1,
+                    method=ProbabilisticUNet.sample,
+                    rngs={"latent": jax.random.key(4)})
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grad_path_unaffected(self):
+        # training never supplies "quant": grads must flow exactly as before
+        m = _tiny_model()
+        x = jax.random.normal(jax.random.key(0), (1, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)},
+            x, num_samples=1, method=ProbabilisticUNet.sample)
+
+        def loss(p):
+            out = m.apply({"params": p}, x, num_samples=1,
+                          method=ProbabilisticUNet.sample,
+                          rngs={"latent": jax.random.key(4)})
+            return jnp.mean(out ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        norms = [float(jnp.linalg.norm(v)) for v in jax.tree.leaves(g)]
+        assert np.isfinite(norms).all()
+        assert max(norms) > 0.0
