@@ -395,7 +395,35 @@ def cmd_explore(args):
                                                 f"grid_{name}_hr.png"))
 
 
-def _member_mesh_sampler(args, cfg, model, params, stats):
+def _serve_variables(args, cfg, model, params, ds, n_items, batch_size):
+    """``--quant int8``: calibrate per-conv activation scales on the first
+    ``--calib-batches`` serve batches (ops/quantize.py PTQ; measured +43%
+    on the bandwidth-bound ensemble path, BENCH int8 row) and return the
+    full serve-time variables dict. ``--quant none`` (default) returns the
+    float params untouched."""
+    if getattr(args, "quant", "none") != "int8":
+        return {"params": params}
+    import jax
+    import jax.numpy as jnp
+
+    from probunet_tpu.data.loader import Batches
+    from probunet_tpu.ops.quantize import calibrate_sample
+
+    prep = jax.jit(lambda hr: ds.preprocess(hr)["inputs"])
+    n_calib = max(1, getattr(args, "calib_batches", 4))
+    inputs = []
+    for i, idx in enumerate(Batches(n_items, batch_size)):
+        if i >= n_calib:
+            break
+        inputs.append(prep(jnp.asarray(ds.get_hr_batch(idx))))
+    scales = calibrate_sample(model, params, inputs, num_samples=args.members,
+                              key=jax.random.key(cfg.train.seed))
+    print(f"int8 serve: calibrated {len(jax.tree.leaves(scales))} conv "
+          f"scales on {len(inputs)} batches")
+    return {"params": params, "quant": scales}
+
+
+def _member_mesh_sampler(args, cfg, model, params, stats, quant=None):
     """``--member-mesh N``: jitted (hr_batch, key) -> (hr_pred, gt) with the
     ensemble sharded over a ("data", "member") mesh
     (parallel/member_parallel.py), physical transforms inverted. Returns
@@ -420,7 +448,7 @@ def _member_mesh_sampler(args, cfg, model, params, stats):
         )
     mesh = make_member_mesh(n_member=n_member)
     gen = make_parallel_sample_step(model, cfg, mesh,
-                                    num_samples=args.members)
+                                    num_samples=args.members, quant=quant)
 
     @jax.jit
     def sample_hr(hr_batch, key):
@@ -465,12 +493,16 @@ def cmd_evaluate(args):
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
 
-    sample_hr = _member_mesh_sampler(args, cfg, model, params, stats)
+    n_items = min(len(ds_test), args.max_items or len(ds_test))
+    variables = _serve_variables(args, cfg, model, params, ds_test,
+                                 n_items, args.batch_size)
+    sample_hr = _member_mesh_sampler(args, cfg, model, params, stats,
+                                     quant=variables.get("quant"))
 
     @jax.jit
     def sample_hr_single(hr_batch, key):
         batch = ds_test.preprocess(hr_batch)
-        out = model.apply({"params": params}, batch["inputs"], num_samples=m,
+        out = model.apply(variables, batch["inputs"], num_samples=m,
                           method=ProbabilisticUNet.sample,
                           rngs={"latent": key})  # (B, M, H, W, K)
         from probunet_tpu.data.climex import lrinterp_from_batch, residual_to_hr
@@ -497,7 +529,6 @@ def cmd_evaluate(args):
 
     acc = EvalAccumulator()
     key = jax.random.key(0)
-    n_items = min(len(ds_test), args.max_items or len(ds_test))
     for i, idx in enumerate(Batches(n_items, args.batch_size)):
         e, g = sample_hr(jnp.asarray(ds_test.get_hr_batch(idx)),
                          jax.random.fold_in(key, i))
@@ -632,12 +663,36 @@ def cmd_infer_domain(args):
 
     m_members = args.members
 
+    # --quant int8: calibrate on the first tile chunks (the model serves at
+    # TILE resolution here, so scales must be measured on tile-shaped inputs)
+    variables = {"params": params}
+    if getattr(args, "quant", "none") == "int8":
+        from probunet_tpu.ops.quantize import calibrate_sample
+
+        prep = jax.jit(lambda hr_t, st: preprocess_batch(
+            hr_t, st, cfg.data.pipeline, k, cfg.data.interp_mode,
+            cfg.data.epsilon, cfg.data.standardization)["inputs"])
+        cbs = args.batch_tiles
+        n_calib = min(max(1, args.calib_batches) * cbs, tiles.shape[0])
+        inputs = [
+            prep(tiles[i:i + cbs],
+                 jax.tree.map(lambda a, i=i: a[i:i + cbs]
+                              if a is not None else a, stats_t))
+            for i in range(0, n_calib, cbs)
+        ]
+        scales = calibrate_sample(model, params, inputs,
+                                  num_samples=m_members,
+                                  key=jax.random.key(cfg.train.seed))
+        print(f"int8 serve: calibrated {len(jax.tree.leaves(scales))} conv "
+              f"scales on {len(inputs)} tile chunks")
+        variables = {"params": params, "quant": scales}
+
     @jax.jit
     def sample_tiles(hr_t, st, key):
         batch = preprocess_batch(hr_t, st, cfg.data.pipeline, k,
                                  cfg.data.interp_mode, cfg.data.epsilon,
                                  cfg.data.standardization)
-        out = model.apply({"params": params}, batch["inputs"],
+        out = model.apply(variables, batch["inputs"],
                           num_samples=m_members,
                           method=ProbabilisticUNet.sample,
                           rngs={"latent": key})
@@ -751,10 +806,15 @@ def cmd_extremes(args):
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
 
+    days = len(ds_test) if not args.days else min(args.days, len(ds_test))
+    variables = _serve_variables(args, cfg, model, params, ds_test,
+                                 days, args.batch_size)
+
     # the member axis of the (30-year x M) sweep sharded over a
     # ("data", "member") mesh — the multi-chip form of the reference's
     # 10,950 x M serial loop (SURVEY.md §3.5)
-    member_sampler = _member_mesh_sampler(args, cfg, model, params, stats)
+    member_sampler = _member_mesh_sampler(args, cfg, model, params, stats,
+                                          quant=variables.get("quant"))
     sample_pixels = None
     if member_sampler is not None:
 
@@ -766,7 +826,7 @@ def cmd_extremes(args):
     @jax.jit
     def sample_pixels_single(hr_batch, key):
         batch = ds_test.preprocess(hr_batch)
-        out = model.apply({"params": params}, batch["inputs"], num_samples=m,
+        out = model.apply(variables, batch["inputs"], num_samples=m,
                           method=ProbabilisticUNet.sample,
                           rngs={"latent": key})  # (B, M, H, W, C)
         lrinterp = lrinterp_from_batch(batch, cfg.data.lowres_scale,
@@ -789,7 +849,6 @@ def cmd_extremes(args):
     if sample_pixels is None:
         sample_pixels = sample_pixels_single
 
-    days = len(ds_test) if not args.days else min(args.days, len(ds_test))
     model_vals, gt_vals = [], []
     key = jax.random.key(cfg.train.seed)
     for i, idx in enumerate(Batches(days, args.batch_size)):
@@ -958,6 +1017,14 @@ def main(argv=None):
                         help="dotted overrides key=value")
         sp.add_argument("--outdir", default="results")
 
+    def _quant_flags(sp):
+        sp.add_argument("--quant", choices=("none", "int8"), default="none",
+                        help="serve the ensemble with int8 convs "
+                             "(ops/quantize.py PTQ; +43%% measured on the "
+                             "bandwidth-bound serve path)")
+        sp.add_argument("--calib-batches", type=int, default=4,
+                        help="serve batches the int8 calibration pass sees")
+
     sp = sub.add_parser("train", help="probabilistic U-Net ELBO training")
     common(sp)
     sp.add_argument("--wandb", action="store_true")
@@ -996,6 +1063,7 @@ def main(argv=None):
     sp.add_argument("--member-mesh", type=int, default=0, metavar="N",
                     help="shard the ensemble over a ('data','member') mesh "
                          "with N-way member parallelism (needs >= N devices)")
+    _quant_flags(sp)
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("infer-domain",
@@ -1009,6 +1077,7 @@ def main(argv=None):
     sp.add_argument("--batch-tiles", type=int, default=16)
     sp.add_argument("--dp", type=int, default=0,
                     help="shard tile batches over N devices (-1 = all)")
+    _quant_flags(sp)
     sp.set_defaults(fn=cmd_infer_domain)
 
     sp = sub.add_parser("extremes",
@@ -1029,6 +1098,7 @@ def main(argv=None):
     sp.add_argument("--member-mesh", type=int, default=0, metavar="N",
                     help="shard the ensemble over a ('data','member') mesh "
                          "with N-way member parallelism (needs >= N devices)")
+    _quant_flags(sp)
     sp.set_defaults(fn=cmd_extremes)
 
     sp = sub.add_parser("pack", help="NetCDF -> packed-array conversion")

@@ -117,3 +117,35 @@ def quant_scales_from_stats(stats: Dict[str, Any]) -> Dict[str, Any]:
 def merge_stats(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
     """Elementwise-max fold of two calibration stats trees (multi-batch)."""
     return jax.tree.map(jnp.maximum, a, b)
+
+
+def calibrate_sample(model, params, inputs_batches, num_samples: int,
+                     key=None) -> Dict[str, Any]:
+    """Calibrate the prior-sample serve path; returns the "quant" collection.
+
+    Runs ``ProbabilisticUNet.sample`` (the path `evaluate`/`extremes`/
+    `infer-domain` serve) over ``inputs_batches`` — already-preprocessed
+    model inputs, a few serve batches are plenty for absmax PTQ — with the
+    "quant_stats" collection mutable, folds the sown per-conv input absmax
+    across batches, and converts to static scales. Serve with
+    ``model.apply({"params": params, "quant": scales}, ...)``.
+    """
+    from probunet_tpu.models.prob_unet import ProbabilisticUNet
+
+    if key is None:
+        key = jax.random.key(0)
+
+    @jax.jit
+    def calib(x, k):
+        _, vs = model.apply({"params": params}, x, num_samples=num_samples,
+                            method=ProbabilisticUNet.sample,
+                            rngs={"latent": k}, mutable=["quant_stats"])
+        return vs["quant_stats"]
+
+    stats = None
+    for i, x in enumerate(inputs_batches):
+        s = calib(x, jax.random.fold_in(key, i))
+        stats = s if stats is None else merge_stats(stats, s)
+    if stats is None:
+        raise ValueError("calibrate_sample needs at least one batch")
+    return quant_scales_from_stats(stats)

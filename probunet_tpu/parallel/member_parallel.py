@@ -74,6 +74,7 @@ def make_parallel_sample_step(
     cfg: Config,
     mesh: Mesh,
     num_samples: int = 16,
+    quant=None,
 ) -> Callable:
     """jit member+data-sharded prior-ensemble generation over ``mesh``.
 
@@ -82,12 +83,20 @@ def make_parallel_sample_step(
     "member". Matches the single-device ``ProbabilisticUNet.sample`` +
     ``residual_to_hr`` path bit-for-bit up to float tolerance (tested on
     the CPU device farm).
+
+    ``quant``: an optional "quant" collection of calibrated int8 scales
+    (ops/quantize.py) — scalar constants closed over the jit, so GSPMD
+    replicates them like any other literal.
     """
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
     zs_sh = NamedSharding(mesh, P(MEMBER_AXIS, DATA_AXIS, None))
     ens_sh = NamedSharding(mesh, P(DATA_AXIS, MEMBER_AXIS, None, None, None))
     d = cfg.data
+
+    def variables(params):
+        return {"params": params} if quant is None else \
+            {"params": params, "quant": quant}
 
     @partial(
         jax.jit,
@@ -101,12 +110,12 @@ def make_parallel_sample_step(
         )
         x = batch["inputs"]
         feats, prior, _ = model.apply(
-            {"params": params}, x, method=ProbabilisticUNet.encode
+            variables(params), x, method=ProbabilisticUNet.encode
         )
         zs = prior.rsample(key, sample_shape=(num_samples,))  # (M, B, D)
         zs = jax.lax.with_sharding_constraint(zs, zs_sh)
         out = model.apply(  # (B, M, H, W, C)
-            {"params": params}, feats, zs, method=ProbabilisticUNet.decode
+            variables(params), feats, zs, method=ProbabilisticUNet.decode
         )
         lrinterp = lrinterp_from_batch(batch, d.lowres_scale, d.interp_mode)
         ist = batch.get("stand_stats")

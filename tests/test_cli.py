@@ -161,6 +161,41 @@ def test_cli_sweep_wandb_yaml(tmp_path, capsys):
     assert "train.batch_size" in res["best"]["overrides"]
 
 
+def test_cli_evaluate_quant_int8(tmp_path, capsys):
+    """evaluate --quant int8: calibrates per-conv scales on the first serve
+    batches, then serves the full streaming eval with int8 convs — same
+    metrics schema, finite values (ops/quantize.py)."""
+    main(["evaluate", "--preset", "probunet_latent6_64",
+          "--outdir", str(tmp_path / "evq"),
+          "--members", "2", "--batch-size", "16", "--max-items", "16",
+          "--quant", "int8", "--calib-batches", "1"] + TINY)
+    printed = capsys.readouterr().out
+    assert "int8 serve: calibrated" in printed
+    ev = json.loads(
+        [ln for ln in printed.splitlines() if '"crps_mean"' in ln][-1]
+    )
+    assert ev["members"] == 2
+    assert np.isfinite(ev["crps_mean"]).all()
+    assert np.isfinite(ev["mae_mean"]).all()
+
+
+def test_cli_evaluate_quant_int8_member_mesh(tmp_path, capsys):
+    """--quant int8 composed with --member-mesh: the calibrated scales ride
+    the ('data','member') mesh step as closed-over constants."""
+    main(["evaluate", "--preset", "probunet_latent6_64",
+          "--outdir", str(tmp_path / "evqm"),
+          "--members", "4", "--batch-size", "16", "--max-items", "16",
+          "--member-mesh", "2", "--quant", "int8",
+          "--calib-batches", "1"] + TINY)
+    printed = capsys.readouterr().out
+    assert "int8 serve: calibrated" in printed
+    ev = json.loads(
+        [ln for ln in printed.splitlines() if '"crps_mean"' in ln][-1]
+    )
+    assert ev["members"] == 4
+    assert np.isfinite(ev["crps_mean"]).all()
+
+
 def test_cli_evaluate_member_mesh(tmp_path, capsys):
     """evaluate --member-mesh N: ensemble generation sharded over the
     ('data','member') mesh (parallel/member_parallel.py) produces the same

@@ -136,6 +136,79 @@ class TestEndToEnd:
                     rngs={"latent": jax.random.key(4)})
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_calibrate_sample_helper(self):
+        # the CLI-facing helper: multi-batch calibration over preprocessed
+        # inputs -> a scales tree every conv in the sample path can find
+        from probunet_tpu.ops.quantize import calibrate_sample
+
+        m = _tiny_model()
+        xs = [jax.random.normal(jax.random.key(i), (2, 32, 32, 2))
+              for i in range(3)]
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)},
+            xs[0], num_samples=2, method=ProbabilisticUNet.sample)
+        scales = calibrate_sample(m, variables["params"], xs, num_samples=2)
+        leaves = jax.tree.leaves(scales)
+        assert len(leaves) >= 30
+        assert all(float(s) > 0 for s in leaves)
+        out = m.apply({"params": variables["params"], "quant": scales},
+                      xs[0], num_samples=2,
+                      method=ProbabilisticUNet.sample,
+                      rngs={"latent": jax.random.key(4)})
+        assert bool(jnp.isfinite(out).all())
+
+    def test_member_parallel_quant_matches_single_device(self):
+        # quantized generation over the ("data","member") mesh must equal
+        # the single-device quantized sample path (same scales, same key)
+        from probunet_tpu.config import preset
+        from probunet_tpu.data.climex import compute_stats
+        from probunet_tpu.data.synthetic import synthetic_climex_fields
+        from probunet_tpu.ops.quantize import calibrate_sample
+        from probunet_tpu.parallel.member_parallel import (
+            make_member_mesh, make_parallel_sample_step,
+        )
+
+        cfg = preset("probunet_latent6_64")
+        cfg.data.resolution = (16, 16)
+        cfg.data.lowres_scale = 4
+        cfg.model.num_filters = (8, 16)
+        cfg.model.model_channels = 8
+        cfg.model.channel_mult = (1, 2)
+        cfg.model.num_blocks = 1
+        cfg.model.latent_dim = 4
+
+        from probunet_tpu.cli import make_model
+        from probunet_tpu.data.climex import preprocess_batch
+
+        model = make_model(cfg)
+        hr = jnp.asarray(synthetic_climex_fields(
+            4, 16, 16, cfg.data.variables, seed=0))
+        stats = compute_stats(hr, cfg.data.lowres_scale)
+        x = jnp.zeros((1, 16, 16, cfg.model.input_channels))
+        params = model.init(
+            {"params": jax.random.key(0), "latent": jax.random.key(1)}, x, x
+        )["params"]
+
+        d = cfg.data
+        batch = preprocess_batch(hr, stats, d.pipeline, d.lowres_scale,
+                                 d.interp_mode, d.epsilon, d.standardization)
+        scales = calibrate_sample(model, params, [batch["inputs"]],
+                                  num_samples=2)
+
+        mesh = make_member_mesh(n_member=2)
+        gen_q = make_parallel_sample_step(model, cfg, mesh, num_samples=2,
+                                          quant=scales)
+        key = jax.random.key(7)
+        out_mesh = gen_q(params, hr, key, stats)
+
+        gen_1 = make_parallel_sample_step(
+            model, cfg, make_member_mesh(n_member=1, devices=jax.devices()[:1]),
+            num_samples=2, quant=scales)
+        out_single = gen_1(params, hr, key, stats)
+        np.testing.assert_allclose(np.asarray(out_mesh),
+                                   np.asarray(out_single), rtol=2e-4,
+                                   atol=2e-4)
+
     def test_grad_path_unaffected(self):
         # training never supplies "quant": grads must flow exactly as before
         m = _tiny_model()
