@@ -397,10 +397,13 @@ def cmd_explore(args):
 
 def _serve_variables(args, cfg, model, params, ds, n_items, batch_size):
     """``--quant int8``: calibrate per-conv activation scales on the first
-    ``--calib-batches`` serve batches (ops/quantize.py PTQ; measured +43%
-    on the bandwidth-bound ensemble path, BENCH int8 row) and return the
-    full serve-time variables dict. ``--quant none`` (default) returns the
-    float params untouched."""
+    ``--calib-batches`` batches of the VALIDATION split (standard PTQ
+    practice — calibrating on the split whose metrics are reported would
+    be mild calibration/test leakage; ops/quantize.py, measured +43% on
+    the bandwidth-bound ensemble path) and return the full serve-time
+    variables dict. Falls back to the serve dataset when the validation
+    split is unavailable. ``--quant none`` (default) returns the float
+    params untouched."""
     if getattr(args, "quant", "none") != "int8":
         return {"params": params}
     import jax
@@ -409,17 +412,26 @@ def _serve_variables(args, cfg, model, params, ds, n_items, batch_size):
     from probunet_tpu.data.loader import Batches
     from probunet_tpu.ops.quantize import calibrate_sample
 
-    prep = jax.jit(lambda hr: ds.preprocess(hr)["inputs"])
+    calib_ds, split = ds, "serve"
+    try:  # built lazily: only the int8 path pays the val split's RSS
+        val = make_datasets(cfg, splits=(1,))[1]
+        if val is not None and len(val) > 0:
+            calib_ds, split = val, "val"
+    except Exception as e:
+        print(f"int8 serve: val split unavailable ({e}); "
+              f"calibrating on the serve split")
+    n_avail = len(calib_ds) if split == "val" else n_items
+    prep = jax.jit(lambda hr: calib_ds.preprocess(hr)["inputs"])
     n_calib = max(1, getattr(args, "calib_batches", 4))
     inputs = []
-    for i, idx in enumerate(Batches(n_items, batch_size)):
+    for i, idx in enumerate(Batches(n_avail, batch_size)):
         if i >= n_calib:
             break
-        inputs.append(prep(jnp.asarray(ds.get_hr_batch(idx))))
+        inputs.append(prep(jnp.asarray(calib_ds.get_hr_batch(idx))))
     scales = calibrate_sample(model, params, inputs, num_samples=args.members,
                               key=jax.random.key(cfg.train.seed))
     print(f"int8 serve: calibrated {len(jax.tree.leaves(scales))} conv "
-          f"scales on {len(inputs)} batches")
+          f"scales on {len(inputs)} {split}-split batches")
     return {"params": params, "quant": scales}
 
 
@@ -664,7 +676,10 @@ def cmd_infer_domain(args):
     m_members = args.members
 
     # --quant int8: calibrate on the first tile chunks (the model serves at
-    # TILE resolution here, so scales must be measured on tile-shaped inputs)
+    # TILE resolution here, so scales must be measured on tile-shaped
+    # inputs; unlike evaluate/extremes there is no held-out tile source, so
+    # the first chunks of the inference domain stand in — absmax PTQ only
+    # needs representative dynamic ranges, not unseen data)
     variables = {"params": params}
     if getattr(args, "quant", "none") == "int8":
         from probunet_tpu.ops.quantize import calibrate_sample

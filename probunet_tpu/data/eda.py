@@ -103,8 +103,9 @@ class ClimexEDA:
 
     ``row_chunk``/``time_chunk`` bound the working-set sizes (rows of the
     full series / timesteps of the full domain per load). The defaults
-    target ~256 MB per loaded block — the analog of the reference's dask
-    chunk-size heuristic (src/baseline/climex_utils.py:394-396).
+    target ~128 MB per loaded block (``_TARGET_BLOCK_BYTES``) — the analog
+    of the reference's dask chunk-size heuristic
+    (src/baseline/climex_utils.py:394-396).
     """
 
     _TARGET_BLOCK_BYTES = 128 * 1024 * 1024
@@ -156,7 +157,11 @@ class ClimexEDA:
         h = self.hr.shape[1]
         for h0 in range(0, h, self.row_chunk):
             h1 = min(h0 + self.row_chunk, h)
-            block = np.asarray(self.hr[:, h0:h1, :, ci])
+            # np.array(copy=True): a memmap slice is a VIEW (memmap is an
+            # ndarray subclass, np.asarray copies nothing) — the slab must
+            # be materialized in RAM BEFORE _drop_pages, or the dropped
+            # pages refault from disk during the statistics pass.
+            block = np.array(self.hr[:, h0:h1, :, ci], copy=True)
             self._drop_pages()
             yield h0, h1, block
 
@@ -166,7 +171,7 @@ class ClimexEDA:
         t = self.hr.shape[0]
         for t0 in range(0, t, self.time_chunk):
             t1 = min(t0 + self.time_chunk, t)
-            block = np.asarray(self.hr[t0:t1, :, :, ci])
+            block = np.array(self.hr[t0:t1, :, :, ci], copy=True)
             self._drop_pages()
             yield t0, t1, block
 

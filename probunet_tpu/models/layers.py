@@ -208,7 +208,12 @@ class EDMConv(nn.Module):
         _qz.sow_absmax(self, x)
         if x2 is not None:
             _qz.sow_absmax(self, x2, "absmax2")
-        if self.has_variable("quant", "in_scale"):
+        # Fall back to the float conv unless EVERY scale this call needs is
+        # present: a quant tree calibrated on a path that never exercised
+        # the skip-concat (x2) input would otherwise fail at serve time
+        # with an opaque missing-variable error.
+        if self.has_variable("quant", "in_scale") and (
+                x2 is None or self.has_variable("quant", "in_scale2")):
             c1 = x.shape[-1]
             y = _qz.int8_conv(x, w[:, :, :c1, :],
                               self.get_variable("quant", "in_scale"), pad)

@@ -108,7 +108,11 @@ def quant_scales_from_stats(stats: Dict[str, Any]) -> Dict[str, Any]:
             if isinstance(v, dict):
                 out[k] = walk(v)
             else:
-                out[_RENAME[k]] = jnp.asarray(v, jnp.float32) / _QMAX
+                # Floor like weight_scales: an all-zero calibration input
+                # (absmax 0) must degrade to a harmless tiny scale, not a
+                # 0/0 -> NaN inside quantize_int8 at serve time.
+                out[_RENAME[k]] = jnp.maximum(
+                    jnp.asarray(v, jnp.float32), 1e-12) / _QMAX
         return out
 
     return walk(jax.tree.map(lambda x: x, dict(stats)))

@@ -33,10 +33,10 @@ run bench_bs256_rematL01 1200 -- BENCH_BS=256 BENCH_REMAT=0,1 python bench.py
 # GN is reduce(H,W,C/G) -> broadcast-apply: the rwb (reduce+broadcast)
 # fusion pass is the targeted lever; multi_dim_reduce_rwb lets it fire on
 # the multi-dim GN reduce. The =false run calibrates the default.
-run rwb_on      1200 -- XLA_FLAGS="--xla_tpu_rwb_fusion=true --xla_tpu_allow_multi_dim_reduce_rwb=true" python bench.py
-run rwb_off     1200 -- XLA_FLAGS="--xla_tpu_rwb_fusion=false" python bench.py
-run aggr_layout 1200 -- XLA_FLAGS="--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true" python bench.py
-run nested_loop 1200 -- XLA_FLAGS="--xla_tpu_enable_multi_level_nested_loop_fusion=true" python bench.py
-run slp_bf16    1200 -- XLA_FLAGS="--xla_tpu_enable_bf16_slp_vectorizer=true" python bench.py
-run sched_exp   1200 -- XLA_FLAGS="--xla_tpu_enable_all_experimental_scheduler_features=true" python bench.py
+# run rwb_on      1200 -- XLA_FLAGS="--xla_tpu_rwb_fusion=true --xla_tpu_allow_multi_dim_reduce_rwb=true" python bench.py
+# run rwb_off     1200 -- XLA_FLAGS="--xla_tpu_rwb_fusion=false" python bench.py
+# run aggr_layout 1200 -- XLA_FLAGS="--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true" python bench.py
+# run nested_loop 1200 -- XLA_FLAGS="--xla_tpu_enable_multi_level_nested_loop_fusion=true" python bench.py
+# run slp_bf16    1200 -- XLA_FLAGS="--xla_tpu_enable_bf16_slp_vectorizer=true" python bench.py
+# run sched_exp   1200 -- XLA_FLAGS="--xla_tpu_enable_all_experimental_scheduler_features=true" python bench.py
 log "phase 4 done"
