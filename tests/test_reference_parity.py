@@ -50,8 +50,9 @@ def _cleanup_stubs():
 def _import_ref_prob_unet_utils():
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    # ms_ssim stubbed to a constant: the WMSE component and the combination
-    # algebra are what we pin here (our MS-SSIM has its own scipy oracle test).
+    # ms_ssim stubbed to a constant for the WMSE-algebra tests; the real
+    # 5-level MS-SSIM values are pinned by TestMSSSIMGolden below against an
+    # in-test torch implementation of the pytorch_msssim algorithm.
     # Another test file (test_models.py) may have stubbed pytorch_msssim with
     # a None-returning ms_ssim and already imported prob_unet_utils against
     # it — force OUR stub's attribute and re-import so the from-import
@@ -166,6 +167,138 @@ class TestLossParity:
         np.testing.assert_allclose(
             np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-6
         )
+
+
+def _torch_ms_ssim(x, y, data_range, size_average=True, win_size=7,
+                   win_sigma=1.5,
+                   weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)):
+    """In-test torch oracle for ``pytorch_msssim.ms_ssim`` (the library the
+    reference calls at src/prob_unet_utils.py:297 is not installed here),
+    implementing its documented algorithm with torch.nn.functional only:
+    separable Gaussian window (win_sigma=1.5), VALID padding, K=(0.01, 0.03),
+    biased covariances, relu'd per-level cs and final ssim, 2x2 avg_pool2d
+    with odd-side zero padding between levels, weighted geometric mean.
+    NCHW input like the reference call site."""
+    import torch.nn.functional as F
+
+    c = x.shape[1]
+    coords = torch.arange(win_size, dtype=torch.float64) - win_size // 2
+    g = torch.exp(-(coords**2) / (2 * win_sigma**2))
+    g = (g / g.sum()).to(x.dtype)
+    win_h = g.view(1, 1, win_size, 1).repeat(c, 1, 1, 1)
+    win_w = g.view(1, 1, 1, win_size).repeat(c, 1, 1, 1)
+
+    def gfilter(t):
+        return F.conv2d(F.conv2d(t, win_h, groups=c), win_w, groups=c)
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    levels = len(weights)
+    vals = []
+    ssim_map = None
+    for i in range(levels):
+        mu1, mu2 = gfilter(x), gfilter(y)
+        s1 = gfilter(x * x) - mu1 * mu1
+        s2 = gfilter(y * y) - mu2 * mu2
+        s12 = gfilter(x * y) - mu1 * mu2
+        cs_map = (2 * s12 + c2) / (s1 + s2 + c2)
+        ssim_map = ((2 * mu1 * mu2 + c1) / (mu1 * mu1 + mu2 * mu2 + c1)) * cs_map
+        if i < levels - 1:
+            vals.append(torch.relu(cs_map.flatten(2).mean(-1)))
+            pad = [s % 2 for s in x.shape[2:]]
+            x = F.avg_pool2d(x, kernel_size=2, padding=pad)
+            y = F.avg_pool2d(y, kernel_size=2, padding=pad)
+    vals.append(torch.relu(ssim_map.flatten(2).mean(-1)))
+    stacked = torch.stack(vals, dim=0)  # (levels, B, C)
+    w = torch.tensor(weights, dtype=x.dtype).view(-1, 1, 1)
+    msv = (stacked**w).prod(dim=0)  # (B, C)
+    return msv.mean() if size_average else msv.mean(dim=1)
+
+
+def _smooth_fields(shape, seed, scale=1.0, offset=0.0):
+    """Spatially-correlated 'climate-like' f32 fields: white noise smoothed
+    by a separable 9-tap moving average (golden tests on white noise would
+    exercise only the near-zero-SSIM regime)."""
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal(shape).astype(np.float64)
+    k = np.ones(9) / 9.0
+    for axis in (-2, -1):
+        f = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), axis, f)
+    return (f * scale + offset).astype(np.float32)
+
+
+class TestMSSSIMGolden:
+    """ops/msssim.py vs the in-test torch oracle of the exact algorithm the
+    reference depends on (closes the 0.25-stub hole: the stub above pins only
+    the WMSE algebra; these pin the 5-level MS-SSIM values themselves)."""
+
+    def _pair(self, h, w, seed=0, noise=0.15):
+        # temperature-like ranges; pred = smooth perturbation of target
+        tgt = _smooth_fields((2, 3, h, w), seed, scale=8.0, offset=12.0)
+        pred = tgt + _smooth_fields((2, 3, h, w), seed + 1, scale=noise * 8.0)
+        return pred, tgt
+
+    @pytest.mark.parametrize("h,w", [(128, 128), (127, 121)])
+    @pytest.mark.parametrize("noise", [0.05, 0.5])
+    def test_ms_ssim_golden(self, h, w, noise):
+        pred, tgt = self._pair(h, w, seed=h + int(noise * 10), noise=noise)
+        dr = float(np.ptp(tgt))
+        ref = float(_torch_ms_ssim(torch.tensor(pred), torch.tensor(tgt),
+                                   data_range=dr, win_size=7))
+        from probunet_tpu.ops.msssim import ms_ssim
+
+        ours = float(ms_ssim(jnp.asarray(np.moveaxis(pred, 1, -1)),
+                             jnp.asarray(np.moveaxis(tgt, 1, -1)),
+                             data_range=dr, win_size=7))
+        assert 0.0 < ref <= 1.0
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("win_size", [7, 11])
+    def test_ssim_golden(self, win_size):
+        # single-scale: weights=(1.0,) reduces the oracle to plain SSIM
+        pred, tgt = self._pair(64, 64, seed=win_size)
+        dr = float(np.ptp(tgt))
+        ref = float(_torch_ms_ssim(torch.tensor(pred), torch.tensor(tgt),
+                                   data_range=dr, win_size=win_size,
+                                   weights=(1.0,)))
+        from probunet_tpu.ops.msssim import ssim
+
+        ours = float(ssim(jnp.asarray(np.moveaxis(pred, 1, -1)),
+                          jnp.asarray(np.moveaxis(tgt, 1, -1)),
+                          data_range=dr, win_size=win_size))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    def test_wmse_ms_ssim_full_parity(self):
+        """End-to-end wmse_ms_ssim_loss vs the reference's own function with
+        the real MS-SSIM (oracle bound in place of the import stub) —
+        config-#3's loss is now pinned with no stubbed component."""
+        pu = _import_ref_prob_unet_utils()
+        old = pu.ms_ssim
+        pu.ms_ssim = _torch_ms_ssim
+        try:
+            pred, tgt = self._pair(128, 128, seed=42, noise=0.3)
+            lam = 0.158
+            ref_comb, ref_wmse, ref_ms = pu.wmse_ms_ssim_loss(
+                torch.tensor(pred), torch.tensor(tgt), lam=lam,
+                return_components=True,
+            )
+        finally:
+            pu.ms_ssim = old
+        from probunet_tpu.ops.losses import wmse_ms_ssim_loss
+
+        ours_comb, ours_wmse, ours_ms = wmse_ms_ssim_loss(
+            jnp.asarray(np.moveaxis(pred, 1, -1)),
+            jnp.asarray(np.moveaxis(tgt, 1, -1)),
+            lam=lam, return_components=True,
+        )
+        # both return the (1 - MS-SSIM) component
+        np.testing.assert_allclose(float(ours_ms), float(ref_ms),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(ours_wmse), float(ref_wmse),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(ours_comb), float(ref_comb),
+                                   rtol=1e-5, atol=1e-5)
 
 
 class TestDatasetParity:
