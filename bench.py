@@ -292,8 +292,16 @@ def main() -> None:
 
     if mode == "eval":
         # no-grad posterior ELBO at M = eval_ensemble_size (5), the
-        # reference's per-epoch eval pass (BASELINE.md row "Eval rate")
-        eval_step = make_eval_step(model, cfg)
+        # reference's per-epoch eval pass (BASELINE.md row "Eval rate").
+        # BENCH_QUANT=int8 serves it with calibrated int8 convs
+        # (ops/quantize.py calibrate_elbo — VERDICT r4 #2: this was the one
+        # serve mode still bf16-only after the ensemble path's +43%).
+        quant = None
+        if os.environ.get("BENCH_QUANT") == "int8":
+            from probunet_tpu.ops.quantize import calibrate_elbo
+            quant = calibrate_elbo(model, state.params, batches[:4], cfg,
+                                   stats, key=jax.random.key(99))
+        eval_step = make_eval_step(model, cfg, quant=quant)
         key = jax.random.key(0)
         stacked = jnp.stack(batches)
 
@@ -319,8 +327,9 @@ def main() -> None:
         _sync(acc)
         dt = time.perf_counter() - t0
         samples_per_sec = n_reps * nb * b / dt
+        qsuffix = "_int8" if quant is not None else ""
         result = {
-            "metric": f"eval_samples_per_sec_128x128_elbo_M5_bs{b}",
+            "metric": f"eval_samples_per_sec_128x128_elbo_M5_bs{b}{qsuffix}",
             "value": round(samples_per_sec, 2),
             "unit": "samples/s",
             "vs_baseline": round(samples_per_sec / BASELINE_EVAL, 3),

@@ -228,19 +228,30 @@ class EDMConv(nn.Module):
                 y = y + b
             return checkpoint_name(y.astype(x.dtype), "conv_out")
 
-        def conv(inp, kern):
-            return lax.conv_general_dilated(
-                inp.astype(dt),
-                kern.astype(dt),
-                window_strides=(1, 1),
-                padding=((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                # f32 accumulation only when computing in f32: with bf16
-                # operands the MXU accumulates in f32 internally, and
-                # requesting an f32 output breaks the conv transpose rule
-                # (f32 cotangent vs bf16 primal dtype mismatch in the vjp)
-                preferred_element_type=dt if dt != jnp.float32 else jnp.float32,
-            )
+        # PROBUNET_ACT_COMPRESS=int8 (trace-time): the custom-vjp conv that
+        # stores its input as per-channel int8 for backward — exact fwd and
+        # dx, int8-roundtripped input only in dW (ops/act_compress.py, the
+        # VERDICT-r4-#4 probe). Off by default; measured in DESIGN.md.
+        from probunet_tpu.ops import act_compress as _ac
+
+        if _ac.enabled():
+            def conv(inp, kern):
+                return _ac.act8_conv(inp, kern, pad, dt)
+        else:
+            def conv(inp, kern):
+                return lax.conv_general_dilated(
+                    inp.astype(dt),
+                    kern.astype(dt),
+                    window_strides=(1, 1),
+                    padding=((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    # f32 accumulation only when computing in f32: with bf16
+                    # operands the MXU accumulates in f32 internally, and
+                    # requesting an f32 output breaks the conv transpose rule
+                    # (f32 cotangent vs bf16 primal dtype mismatch in the vjp)
+                    preferred_element_type=(dt if dt != jnp.float32
+                                            else jnp.float32),
+                )
 
         if x2 is None:
             y = conv(x, w)

@@ -153,3 +153,36 @@ def calibrate_sample(model, params, inputs_batches, num_samples: int,
     if stats is None:
         raise ValueError("calibrate_sample needs at least one batch")
     return quant_scales_from_stats(stats)
+
+
+def calibrate_elbo(model, params, hr_batches, cfg, stats_std,
+                   key=None) -> Dict[str, Any]:
+    """Calibrate the no-grad posterior-ELBO eval path; returns "quant".
+
+    The eval path (``train.loop.make_eval_step``) exercises a superset of
+    the prior-sample serve path: UNet + prior + POSTERIOR convs. Runs the
+    exact eval loss wiring (``make_elbo_loss_fn(training=False,
+    collect_stats=True)``) over raw ``hr_batches``, folds the sown per-conv
+    input absmax, and converts to static scales. Serve with
+    ``make_eval_step(model, cfg, quant=scales)``.
+    """
+    from probunet_tpu.train.loop import make_elbo_loss_fn
+
+    if key is None:
+        key = jax.random.key(0)
+    loss_fn = make_elbo_loss_fn(model, cfg, training=False,
+                                collect_stats=True)
+
+    @jax.jit
+    def calib(hr, k):
+        _, metrics = loss_fn(params, k, hr, stats_std,
+                             jnp.float32(1.0), jnp.float32(0.0))
+        return metrics["quant_stats"]
+
+    stats = None
+    for i, hr in enumerate(hr_batches):
+        s = calib(hr, jax.random.fold_in(key, i))
+        stats = s if stats is None else merge_stats(stats, s)
+    if stats is None:
+        raise ValueError("calibrate_elbo needs at least one batch")
+    return quant_scales_from_stats(stats)

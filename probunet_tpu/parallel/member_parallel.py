@@ -39,7 +39,7 @@ from probunet_tpu.data.climex import (
     residual_to_hr,
 )
 from probunet_tpu.models.prob_unet import ProbabilisticUNet
-from probunet_tpu.parallel.mesh import DATA_AXIS
+from probunet_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
 MEMBER_AXIS = "member"
 
@@ -48,25 +48,35 @@ def make_member_mesh(
     n_data: int | None = None,
     n_member: int = 1,
     devices=None,
+    n_spatial: int = 1,
 ) -> Mesh:
-    """A ("data", "member") mesh. ``n_data=None`` uses all remaining devices."""
+    """A ("data", "member") mesh; ``n_spatial > 1`` inserts a "spatial" axis
+    (("data", "spatial", "member")) so the serve path can combine batch,
+    image-height and ensemble-member sharding in ONE program — GSPMD
+    inserts the conv halo exchanges on the spatial axis exactly as in the
+    train step (parallel/data_parallel.py). ``n_data=None`` uses all
+    remaining devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
-        if n % n_member:
-            raise ValueError(f"{n} devices not divisible by n_member={n_member}")
-        n_data = n // n_member
-    want = n_data * n_member
+        if n % (n_member * n_spatial):
+            raise ValueError(
+                f"{n} devices not divisible by n_member*n_spatial="
+                f"{n_member * n_spatial}")
+        n_data = n // (n_member * n_spatial)
+    shape = ((n_data, n_member) if n_spatial == 1
+             else (n_data, n_spatial, n_member))
+    axes = ((DATA_AXIS, MEMBER_AXIS) if n_spatial == 1
+            else (DATA_AXIS, SPATIAL_AXIS, MEMBER_AXIS))
+    want = int(np.prod(shape))
     if want > n:
-        raise ValueError(f"mesh {n_data}x{n_member} needs {want} devices, have {n}")
+        raise ValueError(f"mesh {shape} needs {want} devices, have {n}")
     devices = devices[:want]
     try:
-        dev_array = mesh_utils.create_device_mesh(
-            (n_data, n_member), devices=devices
-        )
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except (ValueError, AssertionError):
-        dev_array = np.asarray(devices).reshape(n_data, n_member)
-    return Mesh(dev_array, (DATA_AXIS, MEMBER_AXIS))
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
 
 
 def make_parallel_sample_step(
@@ -88,10 +98,19 @@ def make_parallel_sample_step(
     (ops/quantize.py) — scalar constants closed over the jit, so GSPMD
     replicates them like any other literal.
     """
+    spatial = mesh.shape.get(SPATIAL_AXIS, 1) > 1
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    if spatial:
+        # H of the (B, H, W, C) inputs rides the "spatial" axis; the HR
+        # ensemble keeps its height sharded too (axis 2 of (B, M, H, W, C))
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+        ens_sh = NamedSharding(
+            mesh, P(DATA_AXIS, MEMBER_AXIS, SPATIAL_AXIS, None, None))
+    else:
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        ens_sh = NamedSharding(
+            mesh, P(DATA_AXIS, MEMBER_AXIS, None, None, None))
     zs_sh = NamedSharding(mesh, P(MEMBER_AXIS, DATA_AXIS, None))
-    ens_sh = NamedSharding(mesh, P(DATA_AXIS, MEMBER_AXIS, None, None, None))
     d = cfg.data
 
     def variables(params):

@@ -39,13 +39,21 @@ from probunet_tpu.utils.compile_opts import tuned_compiler_options
 
 
 def make_elbo_loss_fn(
-    model: ProbabilisticUNet, cfg: Config, training: bool = True
+    model: ProbabilisticUNet, cfg: Config, training: bool = True,
+    quant=None, collect_stats: bool = False,
 ) -> Callable:
     """Pure ELBO loss function of (params, rng, hr_batch, stats, b0, b1).
 
     Shared by the single-chip step (:func:`make_train_step`) and the
     mesh-sharded step (``probunet_tpu.parallel.data_parallel``).
     With ``training=False`` uses eval_ensemble_size and disables dropout.
+
+    ``quant``: a "quant" variable collection (ops/quantize.py) — the convs
+    that find their calibrated scale serve int8 (eval/no-grad use only; the
+    int8 conv has no vjp rule on purpose). ``collect_stats``: run with the
+    "quant_stats" collection mutable and return the sown per-conv input
+    absmax tree in ``metrics["quant_stats"]`` — the calibration pass for
+    this exact path.
     """
     loss_cfg = cfg.loss
     data_cfg = cfg.data
@@ -57,8 +65,11 @@ def make_elbo_loss_fn(
             data_cfg.interp_mode, data_cfg.epsilon, data_cfg.standardization,
         )
         latent_rng, dropout_rng = jax.random.split(rng)
-        total, metrics = model.apply(
-            {"params": params},
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
+        out = model.apply(
+            variables,
             batch["inputs"],
             batch["targets"],
             M=m_size,
@@ -73,7 +84,14 @@ def make_elbo_loss_fn(
             training=training,
             method=ProbabilisticUNet.elbo,
             rngs={"latent": latent_rng, "dropout": dropout_rng},
+            mutable=["quant_stats"] if collect_stats else False,
         )
+        if collect_stats:
+            (total, metrics), vs = out
+            metrics = dict(metrics)
+            metrics["quant_stats"] = vs.get("quant_stats", {})
+        else:
+            total, metrics = out
         return total, metrics
 
     return loss_fn
@@ -117,13 +135,17 @@ def optax_global_norm(tree) -> jax.Array:
     return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
 
 
-def make_eval_step(model: ProbabilisticUNet, cfg: Config) -> Callable:
+def make_eval_step(model: ProbabilisticUNet, cfg: Config, quant=None) -> Callable:
     """Jitted no-grad ELBO evaluation
     (reference src/train_prob_unet_model.py:161-210). Uses the posterior like
     the reference eval (elbo with targets), M = eval_ensemble_size. Shares
     the exact loss/rng wiring of the mesh-parallel eval step so single- and
-    multi-device evaluation produce identical values."""
-    eval_loss_fn = make_elbo_loss_fn(model, cfg, training=False)
+    multi-device evaluation produce identical values.
+
+    ``quant``: optional calibrated "quant" collection
+    (:func:`probunet_tpu.ops.quantize.calibrate_elbo`) — serves the
+    no-grad ELBO with int8 convs."""
+    eval_loss_fn = make_elbo_loss_fn(model, cfg, training=False, quant=quant)
 
     @partial(jax.jit, compiler_options=tuned_compiler_options())
     def step(params, rng, hr_batch, stats: Standardization):
