@@ -174,14 +174,14 @@ def calibrate_elbo(model, params, hr_batches, cfg, stats_std,
                                 collect_stats=True)
 
     @jax.jit
-    def calib(hr, k):
-        _, metrics = loss_fn(params, k, hr, stats_std,
+    def calib(p, hr, k):
+        _, metrics = loss_fn(p, k, hr, stats_std,
                              jnp.float32(1.0), jnp.float32(0.0))
         return metrics["quant_stats"]
 
     stats = None
     for i, hr in enumerate(hr_batches):
-        s = calib(hr, jax.random.fold_in(key, i))
+        s = calib(params, hr, jax.random.fold_in(key, i))
         stats = s if stats is None else merge_stats(stats, s)
     if stats is None:
         raise ValueError("calibrate_elbo needs at least one batch")
