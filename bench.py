@@ -236,8 +236,14 @@ def main() -> None:
             for i in range(1, 4):
                 qstats = merge_stats(qstats, calib(
                     state.params, batches[i], jax.random.fold_in(key0, i)))
-            variables = {"params": state.params,
-                         "quant": quant_scales_from_stats(qstats)}
+            scales = quant_scales_from_stats(qstats)
+            # BENCH_QUANT_SKIP=heads (comma-separated regexes): mixed-
+            # precision serve — matching convs stay float (quant_skip)
+            if os.environ.get("BENCH_QUANT_SKIP"):
+                from probunet_tpu.ops.quantize import quant_skip
+                scales = quant_skip(
+                    scales, os.environ["BENCH_QUANT_SKIP"].split(","))
+            variables = {"params": state.params, "quant": scales}
 
         # one jitted lax.scan chains all generations: the measured window
         # contains ZERO per-step host dispatches (each axon RPC costs ~ms of
@@ -272,6 +278,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         member_fields_per_sec = n_reps * nb * b * m_members / dt
         suffix = "_int8" if "quant" in variables else ""
+        if suffix and os.environ.get("BENCH_QUANT_SKIP"):
+            suffix += "_skip_" + os.environ["BENCH_QUANT_SKIP"].replace(
+                ",", "_")
         result = {
             "metric": f"ensemble16_member_fields_per_sec_128x128{suffix}",
             "value": round(member_fields_per_sec, 2),

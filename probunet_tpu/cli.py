@@ -33,6 +33,32 @@ import numpy as np
 from probunet_tpu.config import PRESETS, Config, preset
 
 
+class _PhaseTimer:
+    """Wall-clock phase breakdown for the long serve CLIs ("[timing]" line).
+
+    Round 5: the full-scale int8 ledger runs came back slower than bf16 in
+    wall-clock with no device-side explanation (QUALITY.md "int8 serving
+    accuracy ledger" — the device consumes the whole job in seconds);
+    this records where the host time actually goes so the next ledger run
+    decomposes itself."""
+
+    def __init__(self):
+        import time
+        self._now = time.time
+        self.t0 = self.last = self._now()
+        self.spans = {}
+
+    def mark(self, name):
+        now = self._now()
+        self.spans[name] = self.spans.get(name, 0.0) + now - self.last
+        self.last = now
+
+    def report(self):
+        parts = " ".join(f"{k}={v:.1f}s" for k, v in self.spans.items())
+        print(f"[timing] {parts} total={self._now() - self.t0:.1f}s",
+              flush=True)
+
+
 def _parse_overrides(pairs):
     out = {}
     for p in pairs or []:
@@ -430,6 +456,13 @@ def _serve_variables(args, cfg, model, params, ds, n_items, batch_size):
         inputs.append(prep(jnp.asarray(calib_ds.get_hr_batch(idx))))
     scales = calibrate_sample(model, params, inputs, num_samples=args.members,
                               key=jax.random.key(cfg.train.seed))
+    skip = getattr(args, "quant_skip", None)
+    if skip:
+        from probunet_tpu.ops.quantize import quant_skip
+        n0 = len(jax.tree.leaves(scales))
+        scales = quant_skip(scales, skip)
+        print(f"int8 serve: --quant-skip {skip} pruned "
+              f"{n0 - len(jax.tree.leaves(scales))} of {n0} scales")
     print(f"int8 serve: calibrated {len(jax.tree.leaves(scales))} conv "
           f"scales on {len(inputs)} {split}-split batches")
     return {"params": params, "quant": scales}
@@ -491,8 +524,10 @@ def cmd_evaluate(args):
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
     from probunet_tpu.train.checkpoint import CheckpointManager
 
+    timer = _PhaseTimer()
     cfg = build_config(args)
     _, _, ds_test = make_datasets(cfg, splits=(2,))
+    timer.mark("dataset")
     model = make_model(cfg)
     res = cfg.data.resolution
     x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
@@ -501,6 +536,7 @@ def cmd_evaluate(args):
     )["params"]
     if args.ckpt:
         params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
+    timer.mark("init")
 
     stats = jax.tree.map(jnp.asarray, ds_test.stats)
     m = args.members
@@ -508,6 +544,7 @@ def cmd_evaluate(args):
     n_items = min(len(ds_test), args.max_items or len(ds_test))
     variables = _serve_variables(args, cfg, model, params, ds_test,
                                  n_items, args.batch_size)
+    timer.mark("calib")
     sample_hr = _member_mesh_sampler(args, cfg, model, params, stats,
                                      quant=variables.get("quant"))
 
@@ -545,6 +582,7 @@ def cmd_evaluate(args):
         e, g = sample_hr(jnp.asarray(ds_test.get_hr_batch(idx)),
                          jax.random.fold_in(key, i))
         acc.update(e, g)  # device-side reductions; (B, C) rows to host
+    timer.mark("metric_loop")
     if args.outdir:
         # second pass for the pooled-pixel histogram figure: its shared bin
         # range is only known after the full metric pass. fold_in(key, i)
@@ -554,6 +592,7 @@ def cmd_evaluate(args):
             e, g = sample_hr(jnp.asarray(ds_test.get_hr_batch(idx)),
                              jax.random.fold_in(key, i))
             acc.update_hist(e, g)
+        timer.mark("hist_loop")
     res = acc.result()
 
     out = {
@@ -583,6 +622,8 @@ def cmd_evaluate(args):
         }
         plot_histograms(hist,
                         save_path=os.path.join(args.outdir, "histograms.png"))
+        timer.mark("figures")
+    timer.report()
 
 
 def cmd_infer_domain(args):
@@ -698,6 +739,12 @@ def cmd_infer_domain(args):
         scales = calibrate_sample(model, params, inputs,
                                   num_samples=m_members,
                                   key=jax.random.key(cfg.train.seed))
+        if getattr(args, "quant_skip", None):
+            from probunet_tpu.ops.quantize import quant_skip
+            n0 = len(jax.tree.leaves(scales))
+            scales = quant_skip(scales, args.quant_skip)
+            print(f"int8 serve: --quant-skip {args.quant_skip} pruned "
+                  f"{n0 - len(jax.tree.leaves(scales))} of {n0} scales")
         print(f"int8 serve: calibrated {len(jax.tree.leaves(scales))} conv "
               f"scales on {len(inputs)} tile chunks")
         variables = {"params": params, "quant": scales}
@@ -802,9 +849,11 @@ def cmd_extremes(args):
     from probunet_tpu.models.prob_unet import ProbabilisticUNet
     from probunet_tpu.train.checkpoint import CheckpointManager
 
+    timer = _PhaseTimer()
     cfg = build_config(args)
     os.makedirs(args.outdir, exist_ok=True)
     _, _, ds_test = make_datasets(cfg, splits=(2,))
+    timer.mark("dataset")
     model = make_model(cfg)
     res = cfg.data.resolution
     x = jnp.zeros((1, res[0], res[1], cfg.model.input_channels))
@@ -813,6 +862,7 @@ def cmd_extremes(args):
     )["params"]
     if args.ckpt:
         params = CheckpointManager(os.path.abspath(args.ckpt)).restore_best(params)
+    timer.mark("init")
 
     pixels = [tuple(int(v) for v in p.split(",")) for p in args.pixels]
     var_idx = list(cfg.data.variables).index(args.var)
@@ -824,6 +874,7 @@ def cmd_extremes(args):
     days = len(ds_test) if not args.days else min(args.days, len(ds_test))
     variables = _serve_variables(args, cfg, model, params, ds_test,
                                  days, args.batch_size)
+    timer.mark("calib")
 
     # the member axis of the (30-year x M) sweep sharded over a
     # ("data", "member") mesh — the multi-chip form of the reference's
@@ -873,6 +924,7 @@ def cmd_extremes(args):
         gt_vals.append(np.asarray(gv))
     model_series = np.concatenate(model_vals)  # (T, M, P)
     gt_series = np.concatenate(gt_vals)        # (T, P)
+    timer.mark("sample_loop")
 
     periods = tuple(args.return_periods)
     results = {}
@@ -895,6 +947,10 @@ def cmd_extremes(args):
                 "ci_upper": obs["bootstrap"]["upper"].tolist(),
                 "bootstrap_valid": obs["bootstrap"]["n_valid"],
                 "bootstrap_failed": obs["bootstrap"]["n_failed"],
+                # raw annual maxima (n_years floats): lets fit
+                # instability be diagnosed/refit host-side without
+                # re-running the 10,950-day sampling loop
+                "block_maxima": obs["block_maxima"].tolist(),
             },
             "model": {
                 "gev_fit": list(mod["fit"]),
@@ -907,6 +963,8 @@ def cmd_extremes(args):
                 # model's empirical maxima top out (plateau ~75 mm/day in
                 # test_return_levels.ipynb cell 10)
                 "empirical_plateau": float(mod["empirical_levels"].max()),
+                # (n_years, M) per-member annual maxima, pooled for the fit
+                "block_maxima": mod["block_maxima"].tolist(),
             },
         }
         try:
@@ -919,12 +977,19 @@ def cmd_extremes(args):
         except Exception as e:
             print(f"plotting skipped for {name}: {e}")
 
-    out = {"variable": args.var, "members": m, "days": int(days),
+    timer.mark("gev_fits")
+    # report PROCESSED days: Batches drops the ragged tail batch for a
+    # static device shape (data/loader.py drop_last), so e.g. a 10,950-day
+    # split at bs=128 serves 85 x 128 = 10,880 days -> 29 annual maxima
+    out = {"variable": args.var, "members": m,
+           "days": int(model_series.shape[0]),
+           "days_requested": int(days),
            "days_per_year": args.days_per_year,
            "return_periods": list(periods), "pixels": results}
     with open(os.path.join(args.outdir, "extremes.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
+    timer.report()
 
 
 def cmd_pack(args):
@@ -1039,6 +1104,12 @@ def main(argv=None):
                              "bandwidth-bound serve path)")
         sp.add_argument("--calib-batches", type=int, default=4,
                         help="serve batches the int8 calibration pass sees")
+        sp.add_argument("--quant-skip", nargs="*", default=None,
+                        help="regexes of conv module paths to KEEP in float "
+                             "under --quant int8 (mixed-precision PTQ); "
+                             "alias 'heads' = the prior/posterior "
+                             "conv_mu/conv_log_sigma distribution heads "
+                             "(ops/quantize.py SKIP_ALIASES)")
 
     sp = sub.add_parser("train", help="probabilistic U-Net ELBO training")
     common(sp)

@@ -123,6 +123,49 @@ def merge_stats(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree.map(jnp.maximum, a, b)
 
 
+# --quant-skip alias: keep the latent distribution heads (prior/posterior
+# conv_mu + conv_log_sigma, models/gaussian.py:149-152) in float. These
+# 1x1 convs run on the (B, 1, 1, C) GAP output — quantizing them moves no
+# meaningful bytes (the serve win is all in the spatial convs) but
+# perturbs mu/log_sigma directly, and a log_sigma error exponentiates
+# into ensemble spread: exactly the tail-sensitivity the full-scale GEV
+# ledger exposed at pixel (96,20) (QUALITY.md "int8 serving accuracy
+# ledger"). All risk, no reward — skip them.
+SKIP_ALIASES = {"heads": r"conv_mu|conv_log_sigma"}
+
+
+def quant_skip(scales: Dict[str, Any], patterns) -> Dict[str, Any]:
+    """Prune calibrated scales whose module path matches any pattern.
+
+    A conv whose scale is absent from the "quant" collection takes its
+    float path (models/layers.py EDMConv, models/gaussian.py _Conv3x3) —
+    so mixed-precision serving is pure tree pruning, no model changes.
+    ``patterns``: regex strings searched against the "/"-joined module
+    path (e.g. "prior/conv_mu"); the alias "heads" expands to
+    ``SKIP_ALIASES["heads"]``. Empty subtrees are dropped so Flax never
+    sees a module with a scale-less "quant" entry.
+    """
+    import re
+
+    pats = [re.compile(SKIP_ALIASES.get(p, p)) for p in (patterns or [])]
+    if not pats:
+        return scales
+
+    def walk(node, path):
+        out = {}
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                sub = walk(v, p)
+                if sub:
+                    out[k] = sub
+            elif not any(r.search(p) for r in pats):
+                out[k] = v
+        return out
+
+    return walk(scales, "")
+
+
 def calibrate_sample(model, params, inputs_batches, num_samples: int,
                      key=None) -> Dict[str, Any]:
     """Calibrate the prior-sample serve path; returns the "quant" collection.

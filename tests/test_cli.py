@@ -68,6 +68,14 @@ def test_cli_extremes(tmp_path, capsys):
     assert len(p["model"]["return_levels"]) == 3
     assert p["model"]["bootstrap_valid"] > 0
     assert p["model"]["empirical_plateau"] > 0
+    # raw block maxima are serialized for host-side refit diagnosis
+    # (round-5 int8 ledger): observed (n_years,), model (n_years, M);
+    # n_years comes from the actual day count (the tiny preset's test
+    # split is shorter than the requested --days 360)
+    n_years = res["days"] // 30
+    assert n_years >= 2
+    assert np.asarray(p["observed"]["block_maxima"]).shape == (n_years,)
+    assert np.asarray(p["model"]["block_maxima"]).shape == (n_years, 3)
     assert os.path.exists(os.path.join(out, "extremes.json"))
 
 
@@ -177,6 +185,23 @@ def test_cli_evaluate_quant_int8(tmp_path, capsys):
     assert ev["members"] == 2
     assert np.isfinite(ev["crps_mean"]).all()
     assert np.isfinite(ev["mae_mean"]).all()
+
+
+def test_cli_evaluate_quant_skip_heads(tmp_path, capsys):
+    """--quant int8 --quant-skip heads: mixed-precision PTQ — the prior's
+    conv_mu/conv_log_sigma scales are pruned (quant_skip), those convs
+    serve float, everything else int8; metrics stay finite."""
+    main(["evaluate", "--preset", "probunet_latent6_64",
+          "--outdir", str(tmp_path / "evqs"),
+          "--members", "2", "--batch-size", "16", "--max-items", "16",
+          "--quant", "int8", "--quant-skip", "heads",
+          "--calib-batches", "1"] + TINY)
+    printed = capsys.readouterr().out
+    assert "pruned 2 of" in printed  # prior conv_mu + conv_log_sigma
+    ev = json.loads(
+        [ln for ln in printed.splitlines() if '"crps_mean"' in ln][-1]
+    )
+    assert np.isfinite(ev["crps_mean"]).all()
 
 
 def test_cli_evaluate_quant_int8_member_mesh(tmp_path, capsys):

@@ -84,6 +84,26 @@ class TestPrimitives:
         assert float(scales["conv"]["in_scale"]) == 1.0
         assert float(scales["conv"]["in_scale2"]) == 2.0
 
+    def test_quant_skip_prunes_matching_paths(self):
+        from probunet_tpu.ops.quantize import quant_skip
+
+        s = jnp.float32(0.5)
+        tree = {
+            "prior": {"conv_mu": {"in_scale": s},
+                      "conv_log_sigma": {"in_scale": s},
+                      "enc0_conv0": {"in_scale": s}},
+            "unet": {"enc_conv0": {"in_scale": s}},
+        }
+        out = quant_skip(tree, ["heads"])  # alias -> conv_mu|conv_log_sigma
+        # matched modules are gone entirely (no empty dicts left behind)
+        assert "conv_mu" not in out["prior"]
+        assert "conv_log_sigma" not in out["prior"]
+        assert float(out["prior"]["enc0_conv0"]["in_scale"]) == 0.5
+        assert float(out["unet"]["enc_conv0"]["in_scale"]) == 0.5
+        # path-anchored regex works too, and no-pattern is identity
+        assert "prior" not in quant_skip(tree, [r"^prior/"])
+        assert quant_skip(tree, None) is tree
+
 
 def _tiny_model():
     return ProbabilisticUNet(
@@ -263,6 +283,36 @@ class TestEndToEnd:
         rel = abs(float(mq["loss"]) - float(mf["loss"])) / max(
             1e-6, abs(float(mf["loss"])))
         assert rel < 0.15, rel
+
+    def test_quant_skip_heads_serves_float_latent_heads(self):
+        # mixed-precision PTQ (QUALITY.md int8 ledger, pixel (96,20)):
+        # pruning the prior's conv_mu/conv_log_sigma scales must leave
+        # those convs on their float path — with the same latent rng the
+        # sampled z then comes from the EXACT float distribution, so the
+        # skip-heads output can only differ from float through the
+        # (quantized) UNet features, never through the latent draw.
+        from probunet_tpu.ops.quantize import calibrate_sample, quant_skip
+
+        m = _tiny_model()
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 2))
+        variables = m.init(
+            {"params": jax.random.key(2), "latent": jax.random.key(3)},
+            x, num_samples=2, method=ProbabilisticUNet.sample)
+        params = variables["params"]
+        scales = calibrate_sample(m, params, [x], num_samples=2)
+        mixed = quant_skip(scales, ["heads"])
+        n_full, n_mixed = (len(jax.tree.leaves(t)) for t in (scales, mixed))
+        assert n_full - n_mixed == 2  # prior conv_mu + conv_log_sigma
+
+        out_f = m.apply({"params": params}, x, num_samples=2,
+                        method=ProbabilisticUNet.sample,
+                        rngs={"latent": jax.random.key(5)})
+        out_m = m.apply({"params": params, "quant": mixed}, x,
+                        num_samples=2, method=ProbabilisticUNet.sample,
+                        rngs={"latent": jax.random.key(5)})
+        assert out_m.shape == out_f.shape
+        rel = float(jnp.linalg.norm(out_m - out_f) / jnp.linalg.norm(out_f))
+        assert rel < 0.06, rel
 
     def test_grad_path_unaffected(self):
         # training never supplies "quant": grads must flow exactly as before
